@@ -1,0 +1,72 @@
+import json
+
+import pytest
+
+from video_captioning_tpu.config import Config, get_config
+
+
+def test_defaults_match_reference_surface():
+    cfg = get_config()
+    assert cfg.model.cnn_feature_dim == 4096
+    assert cfg.model.encoder_hidden_dim == 512
+    assert cfg.model.encoder_num_layers == 2
+    assert cfg.model.decoder_num_layers == 2
+    assert cfg.model.max_sequence_length == 20
+    assert cfg.model.video_sequence_length == 80
+    assert cfg.data.vocab_threshold == 5
+    assert cfg.data.max_vocab_size == 10000
+    assert cfg.training.batch_size == 32
+    assert cfg.training.learning_rate == 1e-4
+    assert cfg.training.gradient_clip_norm == 5.0
+    assert cfg.training.label_smoothing == 0.1
+    assert cfg.inference.beam_size == 5
+    assert cfg.inference.length_penalty == 1.0
+
+
+def test_vocab_size_synced_to_max_vocab():
+    cfg = Config()
+    cfg.data.max_vocab_size = 1234
+    cfg.validate()
+    assert cfg.model.vocab_size == 1234
+
+
+def test_split_validation():
+    cfg = Config()
+    cfg.data.train_split = 0.5
+    with pytest.raises(ValueError):
+        cfg.validate()
+
+
+def test_attention_type_validation():
+    cfg = Config()
+    cfg.model.attention_type = "bogus"
+    with pytest.raises(ValueError):
+        cfg.validate()
+
+
+def test_json_roundtrip(tmp_path):
+    cfg = Config()
+    cfg.training.batch_size = 7
+    cfg.model.attention_type = "luong"
+    p = tmp_path / "c.json"
+    cfg.save(p)
+    loaded = Config.from_file(p)
+    assert loaded.training.batch_size == 7
+    assert loaded.model.attention_type == "luong"
+
+
+def test_yaml_loader(tmp_path):
+    p = tmp_path / "c.yaml"
+    p.write_text(
+        "model:\n  attention_type: multihead\ntraining:\n  batch_size: 3\n"
+    )
+    cfg = Config.from_file(p)
+    assert cfg.model.attention_type == "multihead"
+    assert cfg.training.batch_size == 3
+
+
+def test_unknown_key_rejected(tmp_path):
+    p = tmp_path / "c.json"
+    p.write_text(json.dumps({"model": {"nonexistent": 1}}))
+    with pytest.raises(KeyError):
+        Config.from_file(p)

@@ -1,0 +1,287 @@
+"""Configuration system for the TPU-native video-captioning framework.
+
+Mirrors the reference configuration surface (reference: src/config/config.py:9-155)
+as a torch-free dataclass tree, and adds what the reference advertised but never
+implemented:
+
+* a working ``--config`` YAML/JSON loader (reference src/train.py:60 parses the
+  flag but never reads the file),
+* a config-exposed ``attention_type`` (the reference hardcodes "bahdanau" at
+  src/models/decoder.py:38),
+* TPU-first knobs: mesh shape, compute dtype policy, Pallas kernel gates.
+
+Everything here is host-side plain Python; nothing imports jax at module load
+beyond device discovery helpers that are called lazily.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+
+@dataclass
+class ModelConfig:
+    """Model architecture configuration (parity: reference config.py:9-31)."""
+
+    # Encoder
+    cnn_feature_dim: int = 4096
+    encoder_hidden_dim: int = 512
+    encoder_num_layers: int = 2
+    encoder_dropout: float = 0.3
+
+    # Decoder
+    decoder_hidden_dim: int = 512
+    decoder_num_layers: int = 2
+    decoder_dropout: float = 0.3
+    vocab_size: int = 10000
+    embedding_dim: int = 512
+
+    # Attention
+    attention_dim: int = 512
+    use_attention: bool = True
+    # New (fixes reference decoder.py:38 hardcode): bahdanau | luong | multihead
+    attention_type: str = "bahdanau"
+    # Luong score function: dot | general | concat (reference attention.py:79)
+    luong_score: str = "general"
+    attention_num_heads: int = 8
+
+    # Sequences
+    max_sequence_length: int = 20
+    video_sequence_length: int = 80
+
+
+@dataclass
+class DataConfig:
+    """Data processing configuration (parity: reference config.py:34-61)."""
+
+    data_root: Path = Path("data")
+    video_dir: Path = Path("data/videos")
+    features_dir: Path = Path("data/features")
+    captions_file: Path = Path("data/captions.csv")
+
+    img_size: Tuple[int, int] = (224, 224)
+    frames_per_video: int = 80
+    frame_sampling_rate: int = 1
+
+    train_split: float = 0.8
+    val_split: float = 0.1
+    test_split: float = 0.1
+
+    vocab_threshold: int = 5
+    max_vocab_size: int = 10000
+
+    pad_token: str = "<PAD>"
+    start_token: str = "<START>"
+    end_token: str = "<END>"
+    unk_token: str = "<UNK>"
+
+
+@dataclass
+class TrainingConfig:
+    """Training configuration (parity: reference config.py:64-90)."""
+
+    batch_size: int = 32
+    num_epochs: int = 100
+    learning_rate: float = 1e-4
+    weight_decay: float = 1e-5
+    gradient_clip_norm: float = 5.0
+
+    optimizer: str = "adam"  # adam | adamw | sgd
+    scheduler: str = "cosine"  # cosine | step | plateau | none
+    warmup_epochs: int = 5
+
+    label_smoothing: float = 0.1
+
+    val_every_n_epochs: int = 1
+    save_every_n_epochs: int = 5
+    early_stopping_patience: int = 10
+
+    # Host input pipeline
+    num_workers: int = 4
+    prefetch_batches: int = 2
+    seed: int = 42
+
+    # TPU-first knobs (no reference analog; the reference is fp32 single-GPU)
+    compute_dtype: str = "float32"  # float32 | bfloat16
+    donate_state: bool = True
+
+
+@dataclass
+class InferenceConfig:
+    """Inference configuration (parity: reference config.py:93-104)."""
+
+    search_method: str = "beam"  # beam | greedy
+    beam_size: int = 5
+    max_length: int = 20
+    length_penalty: float = 1.0
+
+    remove_special_tokens: bool = True
+    capitalize_first: bool = True
+
+
+@dataclass
+class ParallelConfig:
+    """Device-mesh configuration. The reference has no distributed support
+    (verified: zero NCCL/Gloo/MPI/torch.distributed usage); this is the
+    TPU-native replacement: a ``(data, model)`` mesh consumed by
+    ``video_captioning_tpu.parallel``.
+    """
+
+    data_axis: int = -1  # -1 = all remaining devices
+    model_axis: int = 1
+    axis_names: Tuple[str, str] = ("data", "model")
+
+
+@dataclass
+class KernelConfig:
+    """Pallas kernel gates. Each fused kernel is flag-gated with an XLA
+    fallback so correctness never depends on Mosaic availability."""
+
+    use_pallas_attention: bool = False
+    use_pallas_lstm: bool = False
+    interpret: bool = False  # force interpreter mode (CPU testing)
+
+
+@dataclass
+class ExperimentConfig:
+    """Experiment tracking configuration (parity: reference config.py:107-125)."""
+
+    experiment_name: str = "video_captioning"
+    project_name: str = "video-captioning-tpu"
+
+    log_every_n_steps: int = 100
+    use_wandb: bool = False
+    use_tensorboard: bool = True
+    profile_dir: Optional[Path] = None
+
+    checkpoint_dir: Path = Path("checkpoints")
+    best_model_path: Path = Path("checkpoints/best_model.pth")
+
+    output_dir: Path = Path("outputs")
+    predictions_file: Path = Path("outputs/predictions.json")
+
+
+@dataclass
+class Config:
+    """Main configuration tree (parity: reference config.py:128-150)."""
+
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    training: TrainingConfig = field(default_factory=TrainingConfig)
+    inference: InferenceConfig = field(default_factory=InferenceConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    kernels: KernelConfig = field(default_factory=KernelConfig)
+    experiment: ExperimentConfig = field(default_factory=ExperimentConfig)
+
+    # When True (reference behavior, config.py:139-143) directories are
+    # auto-created at construction. Tests set this False to avoid touching cwd.
+    create_dirs: bool = False
+
+    def __post_init__(self) -> None:
+        self.validate()
+        if self.create_dirs:
+            self.ensure_dirs()
+
+    def validate(self) -> None:
+        total = self.data.train_split + self.data.val_split + self.data.test_split
+        if abs(total - 1.0) > 1e-6:
+            raise ValueError(f"Data splits must sum to 1.0, got {total}")
+        # Keep vocab bound in sync (reference config.py:150)
+        self.model.vocab_size = self.data.max_vocab_size
+        if self.model.attention_type not in ("bahdanau", "luong", "multihead"):
+            raise ValueError(f"Unknown attention_type: {self.model.attention_type}")
+        if self.model.luong_score not in ("dot", "general", "concat"):
+            raise ValueError(f"Unknown luong_score: {self.model.luong_score}")
+        if self.model.encoder_hidden_dim % self.model.attention_num_heads != 0:
+            raise ValueError("encoder_hidden_dim must be divisible by attention_num_heads")
+
+    def ensure_dirs(self) -> None:
+        for p in (
+            self.data.data_root,
+            self.data.video_dir,
+            self.data.features_dir,
+            self.experiment.checkpoint_dir,
+            self.experiment.output_dir,
+        ):
+            Path(p).mkdir(parents=True, exist_ok=True)
+
+    # ---------------------------------------------------------------- I/O
+
+    def to_dict(self) -> Dict[str, Any]:
+        def conv(obj: Any) -> Any:
+            if dataclasses.is_dataclass(obj) and not isinstance(obj, type):
+                return {k: conv(v) for k, v in dataclasses.asdict(obj).items()}
+            if isinstance(obj, Path):
+                return str(obj)
+            if isinstance(obj, tuple):
+                return list(obj)
+            if isinstance(obj, dict):
+                return {k: conv(v) for k, v in obj.items()}
+            if isinstance(obj, list):
+                return [conv(v) for v in obj]
+            return obj
+
+        out = {}
+        for f in dataclasses.fields(self):
+            v = getattr(self, f.name)
+            out[f.name] = conv(v) if dataclasses.is_dataclass(v) else conv(v)
+        return out
+
+    def save(self, path: Path) -> None:
+        path = Path(path)
+        with open(path, "w", encoding="utf-8") as f:
+            json.dump(self.to_dict(), f, indent=2)
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "Config":
+        cfg = cls()
+        _apply_overrides(cfg, d)
+        cfg.validate()
+        return cfg
+
+    @classmethod
+    def from_file(cls, path: Path) -> "Config":
+        """Load a config from YAML or JSON. This implements the ``--config``
+        flag the reference exposes but never reads (src/train.py:60)."""
+        path = Path(path)
+        text = path.read_text(encoding="utf-8")
+        if path.suffix in (".yaml", ".yml"):
+            import yaml
+
+            data = yaml.safe_load(text) or {}
+        else:
+            data = json.loads(text)
+        return cls.from_dict(data)
+
+
+_PATH_FIELDS = {
+    "data_root", "video_dir", "features_dir", "captions_file",
+    "checkpoint_dir", "best_model_path", "output_dir", "predictions_file",
+    "profile_dir",
+}
+
+_TUPLE_FIELDS = {"img_size", "axis_names"}
+
+
+def _apply_overrides(cfg: Any, overrides: Dict[str, Any]) -> None:
+    for key, value in overrides.items():
+        if not hasattr(cfg, key):
+            raise KeyError(f"Unknown config key: {key!r}")
+        current = getattr(cfg, key)
+        if dataclasses.is_dataclass(current) and isinstance(value, dict):
+            _apply_overrides(current, value)
+        else:
+            if key in _PATH_FIELDS and value is not None:
+                value = Path(value)
+            if key in _TUPLE_FIELDS and isinstance(value, list):
+                value = tuple(value)
+            setattr(cfg, key, value)
+
+
+def get_config() -> Config:
+    """Default configuration (parity: reference config.py:153-155)."""
+    return Config()

@@ -1,0 +1,182 @@
+"""Fully on-device batched beam search.
+
+Reference semantics (src/models/video_captioning_model.py:148-302): expand K
+beams per video, per step take the top-K of the live beams' ``score +
+log_softmax`` expansions, move END-emitting candidates to a completed pool
+with length penalty ``score / (len-1)^alpha``, stop when no live beams
+remain or max_length is reached, and return the best completed sequence
+(or the best live beam if nothing completed).
+
+The reference runs this as Python loops over (batch, beam) with a host
+sync per step (topk indices → Python ints → tensor rebuilds,
+video_captioning_model.py:219-267). Here the whole search is one
+``jax.lax.while_loop`` over fixed-shape state:
+
+* ``sequences`` (B, K, L+1), ``scores`` (B, K) with dead slots at −inf,
+* hidden state (layers, B·K, H) rebeamed with ``take_along_axis`` gathers,
+* a top-K *completed* register merged via ``lax.top_k`` each step — which
+  also yields the top-K hypotheses that ``generate_multiple_captions``
+  needs (the reference could only return one, predictor.py:345-358).
+
+Two reference defects are fixed (documented divergence):
+
+* best-sequence selection respects ``batch_idx`` — the reference returns
+  the *globally* best completed sequence for every batch item
+  (video_captioning_model.py:276-284),
+* live beams never desync from the expanded encoder tensors (the
+  reference's live pool shrinks below B·K and misaligns,
+  video_captioning_model.py:251-267).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from ..models import attention as attn_mod
+from ..models import decoder as decoder_mod
+
+Array = jax.Array
+
+NEG_INF = -1e9
+
+
+def _expand_for_beams(x: Array, beam_size: int) -> Array:
+    """(B, ...) → (B·K, ...) by repeating each row K times."""
+    return jnp.repeat(x, beam_size, axis=0)
+
+
+def beam_search_generate(
+    params: dict,
+    config: Config,
+    encoder_outputs: Array,
+    encoder_final_state: Array,
+    start_token_id: int,
+    end_token_id: int,
+    max_length: int = 20,
+    encoder_mask: Optional[Array] = None,
+    beam_size: int = 5,
+    length_penalty: float = 1.0,
+) -> Dict[str, Array]:
+    """Batched beam search.
+
+    Returns:
+      ``generated_tokens``: (B, max_length+1) best sequence per video,
+      beginning with START (reference sequence schema).
+      ``all_tokens``: (B, K, max_length+1) top-K completed hypotheses
+      (live-beam fallbacks where fewer than K completed).
+      ``all_scores``: (B, K) their length-penalized scores (−1e9 padding).
+    """
+    dec = params["decoder"] if "decoder" in params else params
+    B, S, E = encoder_outputs.shape
+    K = beam_size
+    V = dec["output_projection"]["kernel"].shape[1]
+    L = max_length + 1  # +1 for the START slot
+    use_attn = config.model.use_attention
+
+    enc_outs = _expand_for_beams(encoder_outputs, K)  # (B·K, S, E)
+    enc_final = _expand_for_beams(encoder_final_state, K)
+    mask = None if encoder_mask is None else _expand_for_beams(encoder_mask, K)
+
+    state0 = decoder_mod.init_hidden_state(dec, config, enc_final)
+    attn_cache = attn_mod.precompute(config, dec["attention"], enc_outs) if use_attn else {}
+
+    sequences0 = jnp.full((B, K, L), start_token_id, jnp.int32)
+    # Only beam 0 live at step 0 so identical first expansions don't
+    # produce K duplicate beams.
+    scores0 = jnp.where(
+        jnp.arange(K)[None, :] == 0, 0.0, NEG_INF
+    ).astype(jnp.float32) * jnp.ones((B, 1), jnp.float32)
+    fin_seqs0 = jnp.full((B, K, L), start_token_id, jnp.int32)
+    fin_scores0 = jnp.full((B, K), NEG_INF, jnp.float32)
+
+    def cond(carry):
+        t, _, scores, _, _, _ = carry
+        any_live = jnp.any(scores > NEG_INF / 2)
+        return jnp.logical_and(t < max_length, any_live)
+
+    def body(carry):
+        t, sequences, scores, state, fin_seqs, fin_scores = carry
+
+        last_tokens = jnp.take_along_axis(
+            sequences, jnp.full((B, K, 1), t, jnp.int32), axis=2
+        )[..., 0].reshape(B * K)
+
+        logits, new_state, _ = decoder_mod.decoder_step(
+            dec, config, last_tokens, state, enc_outs, attn_cache, mask,
+            train=False,
+        )
+        log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+
+        cand = scores[:, :, None] + log_probs.reshape(B, K, V)  # (B, K, V)
+        # Dead slots stay dead: their score is NEG_INF already, which
+        # dominates every candidate they could propose.
+        top_scores, top_idx = jax.lax.top_k(cand.reshape(B, K * V), K)
+        beam_idx = top_idx // V  # (B, K)
+        token_idx = (top_idx % V).astype(jnp.int32)
+
+        # Rebeam sequences and append the chosen token at slot t+1.
+        gathered = jnp.take_along_axis(sequences, beam_idx[:, :, None], axis=1)
+        new_sequences = jnp.where(
+            (jnp.arange(L)[None, None, :] == t + 1),
+            token_idx[:, :, None],
+            gathered,
+        )
+
+        # Rebeam LSTM state: (layers, B·K, H) → gather along the beam axis.
+        def rebeam(x):
+            layers, _, H = x.shape
+            xr = x.reshape(layers, B, K, H)
+            idx = beam_idx[None, :, :, None]
+            return jnp.take_along_axis(xr, idx, axis=2).reshape(layers, B * K, H)
+
+        new_state = (rebeam(new_state[0]), rebeam(new_state[1]))
+
+        is_end = token_idx == end_token_id
+        # Length penalty: at step t the hypothesis holds t+1 generated
+        # tokens → penalty ((len(seq)-1)^alpha), ref :237-242.
+        gen_len = (t + 1).astype(jnp.float32)
+        penalized = top_scores / jnp.power(gen_len, length_penalty)
+
+        step_fin_scores = jnp.where(is_end, penalized, NEG_INF)
+        # Merge this step's completions into the top-K completed register.
+        merged_scores = jnp.concatenate([fin_scores, step_fin_scores], axis=1)
+        merged_seqs = jnp.concatenate([fin_seqs, new_sequences], axis=1)
+        fin_scores_new, keep = jax.lax.top_k(merged_scores, K)
+        fin_seqs_new = jnp.take_along_axis(merged_seqs, keep[:, :, None], axis=1)
+
+        # Completed beams leave the live pool (reference: moved to the
+        # completed list, ref :237-249).
+        new_scores = jnp.where(is_end, NEG_INF, top_scores)
+
+        return (t + 1, new_sequences, new_scores, new_state, fin_seqs_new, fin_scores_new)
+
+    carry = (jnp.int32(0), sequences0, scores0, state0, fin_seqs0, fin_scores0)
+    _, sequences, scores, _, fin_seqs, fin_scores = jax.lax.while_loop(
+        cond, body, carry
+    )
+
+    # Fallback for items with no completed hypothesis: best live beam
+    # (reference falls back to a live beam, ref :283-286; we pick the best
+    # rather than an arbitrary slot — documented fix).
+    best_live_idx = jnp.argmax(scores, axis=1)  # (B,)
+    best_live_seq = jnp.take_along_axis(
+        sequences, best_live_idx[:, None, None], axis=1
+    )[:, 0]
+    has_completed = fin_scores[:, 0] > NEG_INF / 2
+    best_seq = jnp.where(has_completed[:, None], fin_seqs[:, 0], best_live_seq)
+
+    # Fill empty register slots with live beams so all_tokens is always
+    # meaningful for top-N caption requests.
+    live_fill = fin_scores <= NEG_INF / 2
+    all_tokens = jnp.where(live_fill[:, :, None], sequences, fin_seqs)
+    all_scores = jnp.where(live_fill, scores, fin_scores)
+
+    return {
+        "generated_tokens": best_seq,
+        "all_tokens": all_tokens,
+        "all_scores": all_scores,
+    }

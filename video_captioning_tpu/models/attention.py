@@ -1,0 +1,206 @@
+"""Attention mechanisms: Bahdanau, Luong (dot/general/concat), multi-head.
+
+Capability parity with reference src/models/attention.py:9-296, with two
+deliberate TPU-first design changes:
+
+1. **Precompute/attend split.** Projections of the encoder outputs (Bahdanau's
+   ``W_e·enc``, Luong-concat's context projection, MHA's K/V) are invariant
+   across decode steps. The reference recomputes them at every timestep
+   (attention.py:52, :142, :241-242); here :func:`precompute` runs once per
+   sequence and every step inside ``lax.scan`` / ``lax.while_loop`` reuses the
+   cache — removing ~T redundant (B·S·E×A) matmuls per caption.
+2. **Config dispatch.** The attention type comes from
+   ``config.model.attention_type`` instead of the reference's hardcoded
+   "bahdanau" (decoder.py:38), making Luong/MHA reachable (BASELINE configs
+   #3/#4 require them).
+
+Masking uses the reference's additive −1e9 convention (attention.py:61,
+:175, :255) so masked scores survive softmax identically.
+
+All shapes: encoder outputs ``(B, S, E)``, decoder hidden ``(B, D)``, mask
+``(B, S)`` with 1 = valid. Returns ``(context (B, E), weights (B, S))``.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from .layers import apply_linear, dropout, init_linear
+
+Array = jax.Array
+
+_MASK_FILL = -1e9
+_ATTN_DROPOUT = 0.1  # reference attention.py:30,101,218
+
+
+# ==========================================================================
+# Init
+# ==========================================================================
+
+
+def init_attention(key: Array, config: Config) -> dict:
+    kind = config.model.attention_type
+    E = config.model.encoder_hidden_dim
+    D = config.model.decoder_hidden_dim
+    A = config.model.attention_dim
+
+    if kind == "bahdanau":
+        k1, k2, k3 = jax.random.split(key, 3)
+        return {
+            "encoder_projection": init_linear(k1, E, A),
+            "decoder_projection": init_linear(k2, D, A),
+            "attention_linear": init_linear(k3, A, 1),
+        }
+
+    if kind == "luong":
+        score = config.model.luong_score
+        params: dict = {}
+        if score == "general":
+            params["linear_in"] = init_linear(key, D, E, use_bias=False)
+        elif score == "concat":
+            k1, k2, k3 = jax.random.split(key, 3)
+            params["linear_query"] = init_linear(k1, D, A)
+            params["linear_context"] = init_linear(k2, E, A)
+            params["linear_v"] = init_linear(k3, A, 1, use_bias=False)
+        elif score == "dot":
+            if D != E:
+                raise ValueError("dot attention requires decoder_dim == encoder_dim")
+        return params
+
+    if kind == "multihead":
+        H = config.model.attention_num_heads
+        if E % H != 0:
+            raise ValueError("encoder_dim must be divisible by num_heads")
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        return {
+            "query_linear": init_linear(k1, D, E),
+            "key_linear": init_linear(k2, E, E),
+            "value_linear": init_linear(k3, E, E),
+            "output_linear": init_linear(k4, E, E),
+        }
+
+    raise ValueError(f"Unsupported attention type: {kind}")
+
+
+# ==========================================================================
+# Precompute (step-invariant encoder-side projections)
+# ==========================================================================
+
+
+def precompute(config: Config, params: dict, encoder_outputs: Array) -> Dict[str, Array]:
+    """Cache per-sequence projections reused by every decode step."""
+    kind = config.model.attention_type
+    if kind == "bahdanau":
+        return {"enc_proj": apply_linear(params["encoder_projection"], encoder_outputs)}
+    if kind == "luong":
+        if config.model.luong_score == "concat":
+            return {"enc_proj": apply_linear(params["linear_context"], encoder_outputs)}
+        return {}
+    if kind == "multihead":
+        B, S, E = encoder_outputs.shape
+        H = config.model.attention_num_heads
+        hd = E // H
+        k = apply_linear(params["key_linear"], encoder_outputs).reshape(B, S, H, hd)
+        v = apply_linear(params["value_linear"], encoder_outputs).reshape(B, S, H, hd)
+        return {"k": k, "v": v}
+    raise ValueError(kind)
+
+
+# ==========================================================================
+# Attend (one decode step)
+# ==========================================================================
+
+
+def attend(
+    config: Config,
+    params: dict,
+    cache: Dict[str, Array],
+    encoder_outputs: Array,
+    decoder_hidden: Array,
+    encoder_mask: Optional[Array],
+    *,
+    train: bool = False,
+    rng: Optional[Array] = None,
+) -> Tuple[Array, Array]:
+    kind = config.model.attention_type
+    if kind == "bahdanau":
+        scores = _bahdanau_scores(params, cache, decoder_hidden)
+    elif kind == "luong":
+        scores = _luong_scores(config, params, cache, encoder_outputs, decoder_hidden)
+    else:
+        return _multihead_attend(
+            params, cache, decoder_hidden, encoder_mask, train=train, rng=rng
+        )
+
+    if encoder_mask is not None:
+        scores = jnp.where(encoder_mask > 0, scores, _MASK_FILL)
+    weights = jax.nn.softmax(scores, axis=-1)  # (B, S)
+    weights = dropout(weights, _ATTN_DROPOUT, rng, train)
+    context = jnp.einsum("bs,bse->be", weights, encoder_outputs)
+    return context, weights
+
+
+def _bahdanau_scores(params: dict, cache: Dict[str, Array], dec_hidden: Array) -> Array:
+    dec_proj = apply_linear(params["decoder_projection"], dec_hidden)  # (B, A)
+    combined = jnp.tanh(cache["enc_proj"] + dec_proj[:, None, :])  # (B, S, A)
+    return apply_linear(params["attention_linear"], combined)[..., 0]  # (B, S)
+
+
+def _luong_scores(
+    config: Config, params: dict, cache: Dict[str, Array], enc_outs: Array, dec_hidden: Array
+) -> Array:
+    score = config.model.luong_score
+    if score == "dot":
+        return jnp.einsum("bd,bsd->bs", dec_hidden, enc_outs)
+    if score == "general":
+        proj = apply_linear(params["linear_in"], dec_hidden)  # (B, E)
+        return jnp.einsum("be,bse->bs", proj, enc_outs)
+    # concat
+    dec_proj = apply_linear(params["linear_query"], dec_hidden)  # (B, A)
+    combined = jnp.tanh(dec_proj[:, None, :] + cache["enc_proj"])  # (B, S, A)
+    return apply_linear(params["linear_v"], combined)[..., 0]
+
+
+def _multihead_attend(
+    params: dict,
+    cache: Dict[str, Array],
+    dec_hidden: Array,
+    encoder_mask: Optional[Array],
+    *,
+    train: bool,
+    rng: Optional[Array],
+) -> Tuple[Array, Array]:
+    k, v = cache["k"], cache["v"]  # (B, S, H, hd)
+    B, S, H, hd = k.shape
+    q = apply_linear(params["query_linear"], dec_hidden).reshape(B, H, hd)
+    scores = jnp.einsum("bhd,bshd->bhs", q, k) / jnp.sqrt(jnp.float32(hd))
+    if encoder_mask is not None:
+        scores = jnp.where(encoder_mask[:, None, :] > 0, scores, _MASK_FILL)
+    weights = jax.nn.softmax(scores, axis=-1)  # (B, H, S)
+    weights = dropout(weights, _ATTN_DROPOUT, rng, train)
+    context = jnp.einsum("bhs,bshd->bhd", weights, v).reshape(B, H * hd)
+    context = apply_linear(params["output_linear"], context)
+    avg_weights = weights.mean(axis=1)  # (B, S) — head-avg for viz (ref :273)
+    return context, avg_weights
+
+
+def attention_once(
+    config: Config,
+    params: dict,
+    encoder_outputs: Array,
+    decoder_hidden: Array,
+    encoder_mask: Optional[Array] = None,
+    *,
+    train: bool = False,
+    rng: Optional[Array] = None,
+) -> Tuple[Array, Array]:
+    """Single-shot convenience wrapper (precompute + attend)."""
+    cache = precompute(config, params, encoder_outputs)
+    return attend(
+        config, params, cache, encoder_outputs, decoder_hidden, encoder_mask,
+        train=train, rng=rng,
+    )

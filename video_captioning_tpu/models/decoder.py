@@ -1,0 +1,251 @@
+"""Attention LSTM caption decoder.
+
+Capability parity with reference src/models/decoder.py:10-289:
+
+* embedding (U(-0.1,0.1)) + dropout (ref :33-34, :66),
+* config-selected attention over encoder outputs (fixes the reference's
+  hardcoded "bahdanau" at decoder.py:38),
+* multi-layer LSTM whose input is ``[embedding ; context]`` (ref :44-50),
+  orthogonal weights / zero bias (ref :68-72),
+* deep-output head: ``tanh(W [lstm_top ; context ; embedding])`` followed by
+  the vocab projection, xavier / zero-bias (ref :53-59, :155-169),
+* decoder state initialised by replicating the encoder final state across
+  layers with a zero cell (ref :81-106). When ``encoder_dim != hidden_dim``
+  the reference instantiates a *fresh random* Linear on every call
+  (decoder.py:97-99 — a defect); here the projection is a learned parameter
+  created once at init.
+
+TPU-native structure: teacher forcing is a single ``lax.scan`` over the
+caption length. Three reference-equivalent hoists keep the MXU busy:
+token embeddings are gathered for all T steps up front, the attention's
+encoder-side projections are precomputed once (see ``models.attention``),
+and the (H→V) vocab projection runs once over the stacked ``(B·T, H)``
+deep-output states instead of T small per-step matmuls.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from . import attention as attn_mod
+from .layers import (
+    apply_embedding,
+    apply_linear,
+    dropout,
+    init_embedding,
+    init_linear,
+    init_multilayer_lstm,
+    lstm_cell,
+)
+
+Array = jax.Array
+State = Tuple[Array, Array]  # (h, c), each (L, B, H)
+
+
+def init_decoder(key: Array, config: Config, vocabulary_size: int) -> dict:
+    m = config.model
+    emb_dim = m.embedding_dim
+    H = m.decoder_hidden_dim
+    E = m.encoder_hidden_dim
+    L = m.decoder_num_layers
+
+    k_emb, k_attn, k_lstm, k_ctx, k_out, k_init = jax.random.split(key, 6)
+
+    lstm_input = emb_dim + E if m.use_attention else emb_dim
+    params = {
+        "embedding": init_embedding(k_emb, vocabulary_size, emb_dim),
+        "lstm": init_multilayer_lstm(
+            k_lstm, lstm_input, H, L, init_style="orthogonal_zero_bias"
+        ),
+        "output_projection": init_linear(
+            k_out, H, vocabulary_size, kernel_init="xavier_uniform", zero_bias=True
+        ),
+    }
+    if m.use_attention:
+        params["attention"] = attn_mod.init_attention(k_attn, config)
+        params["context_projection"] = init_linear(
+            k_ctx, E + H + emb_dim, H, kernel_init="xavier_uniform", zero_bias=True
+        )
+    if E != H:
+        # Learned once — fixes reference decoder.py:97-99 (fresh random
+        # nn.Linear per call).
+        params["init_state_projection"] = init_linear(k_init, E, H)
+    return params
+
+
+def init_hidden_state(params: dict, config: Config, encoder_final_state: Array) -> State:
+    """Replicate (projected) encoder final state across layers; zero cell."""
+    L = config.model.decoder_num_layers
+    if "init_state_projection" in params:
+        projected = apply_linear(params["init_state_projection"], encoder_final_state)
+    else:
+        projected = encoder_final_state
+    h = jnp.broadcast_to(projected[None], (L,) + projected.shape)
+    c = jnp.zeros_like(h)
+    return h, c
+
+
+def _lstm_stack_step(
+    params: dict,
+    config: Config,
+    x: Array,
+    state: State,
+    *,
+    train: bool,
+    rng: Optional[Array],
+) -> Tuple[Array, State]:
+    """One timestep through all decoder LSTM layers. x: (B, in)."""
+    h_prev, c_prev = state
+    p_drop = config.model.decoder_dropout
+    num_layers = len(params["lstm"])
+    hs, cs = [], []
+    inp = x
+    for l, layer in enumerate(params["lstm"]):
+        h_new, c_new = lstm_cell(layer, inp, h_prev[l], c_prev[l])
+        hs.append(h_new)
+        cs.append(c_new)
+        inp = h_new
+        if train and l < num_layers - 1 and num_layers > 1 and rng is not None:
+            inp = dropout(inp, p_drop, jax.random.fold_in(rng, l), train)
+    return inp, (jnp.stack(hs), jnp.stack(cs))
+
+
+def decoder_core_step(
+    params: dict,
+    config: Config,
+    embedded: Array,
+    state: State,
+    encoder_outputs: Array,
+    attn_cache: Dict[str, Array],
+    encoder_mask: Optional[Array],
+    *,
+    train: bool = False,
+    rng: Optional[Array] = None,
+) -> Tuple[Array, State, Optional[Array]]:
+    """One decode step from an already-embedded token.
+
+    Returns the pre-vocab deep-output state ``(B, H)`` (apply
+    ``output_projection`` for logits), the new LSTM state, and attention
+    weights ``(B, S)`` (or None without attention).
+    """
+    r_attn = r_lstm = None
+    if rng is not None:
+        r_attn, r_lstm = jax.random.split(rng)
+
+    if config.model.use_attention:
+        top_hidden = state[0][-1]  # previous top-layer h (ref decoder.py:135)
+        context, weights = attn_mod.attend(
+            config, params["attention"], attn_cache, encoder_outputs, top_hidden,
+            encoder_mask, train=train, rng=r_attn,
+        )
+        lstm_in = jnp.concatenate([embedded, context], axis=-1)
+    else:
+        context, weights = None, None
+        lstm_in = embedded
+
+    lstm_top, new_state = _lstm_stack_step(
+        params, config, lstm_in, state, train=train, rng=r_lstm
+    )
+
+    if config.model.use_attention:
+        deep_in = jnp.concatenate([lstm_top, context, embedded], axis=-1)
+        pre_vocab = jnp.tanh(apply_linear(params["context_projection"], deep_in))
+    else:
+        pre_vocab = lstm_top
+    return pre_vocab, new_state, weights
+
+
+def decoder_step(
+    params: dict,
+    config: Config,
+    input_token: Array,
+    state: State,
+    encoder_outputs: Array,
+    attn_cache: Dict[str, Array],
+    encoder_mask: Optional[Array],
+    *,
+    train: bool = False,
+    rng: Optional[Array] = None,
+) -> Tuple[Array, State, Optional[Array]]:
+    """One decode step from token ids (B,) → logits (B, V)."""
+    embedded = apply_embedding(params["embedding"], input_token)
+    if train and rng is not None:
+        emb_rng, rng = jax.random.split(rng)
+        embedded = dropout(embedded, config.model.decoder_dropout, emb_rng, train)
+    pre_vocab, new_state, weights = decoder_core_step(
+        params, config, embedded, state, encoder_outputs, attn_cache,
+        encoder_mask, train=train, rng=rng,
+    )
+    logits = apply_linear(params["output_projection"], pre_vocab)
+    return logits, new_state, weights
+
+
+def apply_decoder(
+    params: dict,
+    config: Config,
+    encoder_outputs: Array,
+    encoder_final_state: Array,
+    target_tokens: Array,
+    encoder_mask: Optional[Array] = None,
+    *,
+    train: bool = False,
+    rng: Optional[Array] = None,
+) -> Dict[str, Array]:
+    """Teacher-forcing forward pass.
+
+    Args:
+      encoder_outputs: (B, S, E)
+      encoder_final_state: (B, E)
+      target_tokens: (B, T) input tokens (already shifted).
+
+    Returns dict with ``logits`` (B, T, V) and, with attention,
+    ``attention_weights`` (B, T, S).
+    """
+    B, T = target_tokens.shape
+    state0 = init_hidden_state(params, config, encoder_final_state)
+
+    # Hoist: embed all steps at once (one gather instead of T).
+    embedded_all = apply_embedding(params["embedding"], target_tokens)  # (B, T, emb)
+    if train and rng is not None:
+        emb_rng, rng = jax.random.split(rng)
+        embedded_all = dropout(
+            embedded_all, config.model.decoder_dropout, emb_rng, train
+        )
+
+    attn_cache = (
+        attn_mod.precompute(config, params["attention"], encoder_outputs)
+        if config.model.use_attention
+        else {}
+    )
+
+    def step(carry, inp):
+        state, step_idx = carry
+        emb_t = inp  # (B, emb)
+        step_rng = (
+            jax.random.fold_in(rng, step_idx) if (train and rng is not None) else None
+        )
+        pre_vocab, new_state, weights = decoder_core_step(
+            params, config, emb_t, state, encoder_outputs, attn_cache,
+            encoder_mask, train=train, rng=step_rng,
+        )
+        if weights is None:
+            weights = jnp.zeros((B, encoder_outputs.shape[1]), pre_vocab.dtype)
+        return (new_state, step_idx + 1), (pre_vocab, weights)
+
+    (_, _), (pre_vocab_seq, weights_seq) = jax.lax.scan(
+        step, (state0, jnp.int32(0)), jnp.swapaxes(embedded_all, 0, 1)
+    )
+    pre_vocab_seq = jnp.swapaxes(pre_vocab_seq, 0, 1)  # (B, T, H)
+    weights_seq = jnp.swapaxes(weights_seq, 0, 1)  # (B, T, S)
+
+    # Hoist: one (B·T, H)@(H, V) matmul instead of T small ones.
+    logits = apply_linear(params["output_projection"], pre_vocab_seq)
+
+    result = {"logits": logits}
+    if config.model.use_attention:
+        result["attention_weights"] = weights_seq
+    return result

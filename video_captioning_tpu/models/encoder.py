@@ -1,0 +1,109 @@
+"""BiLSTM video encoder.
+
+Capability parity with reference src/models/encoder.py:10-98:
+feature projection (F→H) → dropout → N-layer bidirectional LSTM →
+output projection (2H→H) → dropout, plus a final state built from the last
+layer's forward/backward hidden states passed through the same output
+projection (encoder.py:90-97).
+
+TPU-native design: each direction of each layer is a ``jax.lax.scan`` over
+time (no packed sequences — masked carry-through reproduces packing
+semantics, see ``layers.lstm_scan``), all projections are batched matmuls
+over ``(B·T, ·)`` so they tile onto the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from .layers import (
+    apply_linear,
+    dropout,
+    init_linear,
+    init_multilayer_lstm,
+    lstm_scan,
+    reverse_sequence,
+)
+
+Array = jax.Array
+
+
+def init_encoder(key: Array, config: Config) -> dict:
+    F = config.model.cnn_feature_dim
+    H = config.model.encoder_hidden_dim
+    L = config.model.encoder_num_layers
+    k_proj, k_lstm, k_out = jax.random.split(key, 3)
+    return {
+        "feature_projection": init_linear(k_proj, F, H),
+        "lstm": init_multilayer_lstm(
+            k_lstm, H, H, L, bidirectional=True, init_style="torch_default"
+        ),
+        "output_projection": init_linear(k_out, 2 * H, H),
+    }
+
+
+def apply_encoder(
+    params: dict,
+    config: Config,
+    video_features: Array,
+    video_mask: Optional[Array] = None,
+    *,
+    train: bool = False,
+    rng: Optional[Array] = None,
+) -> Tuple[Array, Array]:
+    """Encode video features.
+
+    Args:
+      video_features: (B, T, F)
+      video_mask: optional (B, T), 1 = valid frame.
+
+    Returns:
+      encoded_features (B, T, H), final_hidden (B, H).
+    """
+    p_drop = config.model.encoder_dropout
+    rngs = jax.random.split(rng, 4) if rng is not None else [None] * 4
+
+    x = apply_linear(params["feature_projection"], video_features)  # (B, T, H)
+    x = dropout(x, p_drop, rngs[0], train)
+
+    lengths = None if video_mask is None else video_mask.sum(axis=1).astype(jnp.int32)
+
+    num_layers = len(params["lstm"])
+    h_fwd_last = c_fwd_last = h_bwd_last = None
+    for l, layer in enumerate(params["lstm"]):
+        B = x.shape[0]
+        Hdim = layer["fwd"]["w_hh"].shape[0]
+        h0 = jnp.zeros((B, Hdim), x.dtype)
+        c0 = jnp.zeros((B, Hdim), x.dtype)
+
+        out_f, (h_f, c_f) = lstm_scan(layer["fwd"], x, h0, c0, mask=video_mask)
+
+        # Backward direction: reverse each valid prefix, scan forward, then
+        # un-reverse the outputs — packed-sequence bidirectional semantics.
+        x_rev = reverse_sequence(x, lengths)
+        out_b_rev, (h_b, c_b) = lstm_scan(layer["bwd"], x_rev, h0, c0, mask=video_mask)
+        out_b = reverse_sequence(out_b_rev, lengths)
+
+        x = jnp.concatenate([out_f, out_b], axis=-1)  # (B, T, 2H)
+        # torch inter-layer dropout: applied to every layer's output except
+        # the last (encoder.py:40 dropout=p only when num_layers > 1).
+        if train and l < num_layers - 1 and num_layers > 1 and rngs[1] is not None:
+            x = dropout(x, p_drop, jax.random.fold_in(rngs[1], l), train)
+        h_fwd_last, c_fwd_last, h_bwd_last = h_f, c_f, h_b
+
+    lstm_output = x  # (B, T, 2H)
+
+    encoded = apply_linear(params["output_projection"], lstm_output)  # (B, T, H)
+    encoded = dropout(encoded, p_drop, rngs[3], train)
+
+    # Final state: last layer's forward/backward hidden states concatenated
+    # (torch hidden[-2:] → fwd then bwd, encoder.py:92-94) and projected by
+    # the same output_projection (encoder.py:96).
+    final_concat = jnp.concatenate([h_fwd_last, h_bwd_last], axis=-1)  # (B, 2H)
+    final_hidden = apply_linear(params["output_projection"], final_concat)
+
+    return encoded, final_hidden
