@@ -1,0 +1,180 @@
+"""CLI surface tests: the reference's train.py / predict.py / preprocess.py
+workflows end-to-end on synthetic data (in-process, CPU)."""
+
+import json
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import jax
+
+
+@pytest.fixture
+def dataset_csv(tmp_path):
+    """Synthetic features + captions CSV with enough rows to split 80/10/10."""
+    rs = np.random.RandomState(0)
+    captions = [
+        "a man is running", "a dog is barking", "a cat is sleeping",
+        "a bird is flying", "a man plays guitar", "a woman cooks dinner",
+        "kids play football", "a car drives fast", "a man rides a horse",
+        "a girl sings a song", "a boy throws a ball", "people dance together",
+    ]
+    rows = []
+    for i, cap in enumerate(captions):
+        feats = rs.randn(12, 24).astype(np.float32)
+        path = tmp_path / f"clip{i}.npy"
+        np.save(path, feats)
+        rows.append({"video_id": f"clip{i}", "video_path": "",
+                     "feature_path": str(path), "caption": cap})
+    csv = tmp_path / "dataset.csv"
+    pd.DataFrame(rows).to_csv(csv, index=False)
+    return csv
+
+
+@pytest.fixture
+def tiny_config_file(tmp_path):
+    cfg = {
+        "model": {
+            "cnn_feature_dim": 24, "encoder_hidden_dim": 16,
+            "decoder_hidden_dim": 16, "embedding_dim": 12,
+            "attention_dim": 16, "attention_num_heads": 4,
+            "max_sequence_length": 8, "video_sequence_length": 10,
+        },
+        "data": {"frames_per_video": 10, "vocab_threshold": 1,
+                  "max_vocab_size": 64},
+        "training": {"batch_size": 4, "num_epochs": 2, "num_workers": 2},
+        "parallel": {"data_axis": 1},
+        "experiment": {"use_tensorboard": False, "use_wandb": False,
+                        "log_every_n_steps": 1},
+    }
+    p = tmp_path / "config.json"
+    p.write_text(json.dumps(cfg))
+    return p
+
+
+@pytest.mark.slow
+def test_train_then_predict_cli(dataset_csv, tiny_config_file, tmp_path, capsys):
+    from video_captioning_tpu.cli import predict as predict_cli
+    from video_captioning_tpu.cli import train as train_cli
+
+    ckpt_dir = tmp_path / "ckpts"
+    train_cli.main([
+        "--config", str(tiny_config_file),
+        "--data-file", str(dataset_csv),
+        "--checkpoint-dir", str(ckpt_dir),
+        "--epochs", "2",
+        "--no-tensorboard",
+    ])
+
+    assert (ckpt_dir / "vocabulary.json").exists()
+    assert (ckpt_dir / "model_for_inference.pth").exists()
+    assert (ckpt_dir / "best_model.pth").exists()
+    assert (ckpt_dir / "training_results.json").exists()
+    assert (ckpt_dir / "model_config.json").exists()
+
+    feats_path = pd.read_csv(dataset_csv).iloc[0]["feature_path"]
+    out_json = tmp_path / "pred.json"
+    predict_cli.main([
+        "--model-path", str(ckpt_dir / "model_for_inference.pth"),
+        "--method", "beam", "--beam-size", "3", "--max-length", "8",
+        "single",
+        "--video-path", "ignored.mp4",
+        "--features-path", feats_path,
+        "--output", str(out_json),
+    ])
+    captured = capsys.readouterr()
+    assert "Generated Caption:" in captured.out
+    payload = json.loads(out_json.read_text())
+    assert payload["method"] == "beam"
+    assert isinstance(payload["caption"], str)
+
+    # multiple-captions subcommand (true top-N beam hypotheses)
+    multi_json = tmp_path / "multi.json"
+    predict_cli.main([
+        "--model-path", str(ckpt_dir / "model_for_inference.pth"),
+        "--method", "beam", "--max-length", "8",
+        "multiple",
+        "--video-path", "ignored.mp4",
+        "--features-path", feats_path,
+        "--num-captions", "3",
+        "--output", str(multi_json),
+    ])
+    multi = json.loads(multi_json.read_text())
+    assert len(multi["captions"]) == 3
+
+    # Resume path: a second short run restarting from the checkpoint.
+    train_cli.main([
+        "--config", str(tiny_config_file),
+        "--data-file", str(dataset_csv),
+        "--checkpoint-dir", str(ckpt_dir),
+        "--epochs", "2",
+        "--resume", str(ckpt_dir / "latest_checkpoint.pth"),
+        "--no-tensorboard",
+    ])
+
+
+@pytest.mark.slow
+def test_preprocess_cli_with_synthetic_video(tmp_path, capsys):
+    cv2 = pytest.importorskip("cv2")
+    from video_captioning_tpu.cli import preprocess as preprocess_cli
+
+    # Write a tiny synthetic video.
+    video_dir = tmp_path / "videos"
+    video_dir.mkdir()
+    path = video_dir / "toy.mp4"
+    writer = cv2.VideoWriter(
+        str(path), cv2.VideoWriter_fourcc(*"mp4v"), 10, (64, 48)
+    )
+    rs = np.random.RandomState(0)
+    for _ in range(24):
+        writer.write(rs.randint(0, 255, (48, 64, 3), np.uint8))
+    writer.release()
+    assert path.exists()
+
+    caps = tmp_path / "caps.txt"
+    caps.write_text("a toy video\n")
+
+    out_dir = tmp_path / "features"
+    preprocess_cli.main([
+        "--video-dir", str(video_dir),
+        "--output-dir", str(out_dir),
+        "--model-type", "resnet50",
+        "--frames-per-video", "4",
+        "--batch-size", "4",
+        "--img-size", "64", "64",
+        "--create-dataset",
+        "--captions-file", str(caps),
+        "--dataset-output", str(tmp_path / "ds.csv"),
+    ])
+
+    feats = np.load(out_dir / "toy.npy")
+    assert feats.shape == (4, 2048)
+    df = pd.read_csv(tmp_path / "ds.csv")
+    assert list(df.columns) == ["video_id", "video_path", "feature_path", "caption"]
+    assert df.iloc[0]["caption"] == "a toy video"
+
+    # --overwrite skip path
+    preprocess_cli.main([
+        "--video-dir", str(video_dir),
+        "--output-dir", str(out_dir),
+        "--model-type", "resnet50",
+        "--frames-per-video", "4",
+        "--img-size", "64", "64",
+    ])
+
+
+def test_evaluate_cli(tmp_path, capsys):
+    from video_captioning_tpu.cli import evaluate as evaluate_cli
+
+    preds = tmp_path / "p.txt"
+    refs = tmp_path / "r.txt"
+    preds.write_text("a man runs\na dog barks\n")
+    refs.write_text("a man is running\na dog is barking\n")
+    out = tmp_path / "scores.json"
+    evaluate_cli.main([
+        "--predictions", str(preds), "--references", str(refs),
+        "--output", str(out),
+    ])
+    scores = json.loads(out.read_text())
+    assert "bleu_4" in scores and "cider" in scores

@@ -1,0 +1,151 @@
+"""Generation correctness: greedy vs manual loop, beam vs brute force."""
+
+import itertools
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from video_captioning_tpu.generation.beam import beam_search_generate
+from video_captioning_tpu.generation.greedy import greedy_generate
+from video_captioning_tpu.models import attention as attn_mod
+from video_captioning_tpu.models import captioner, decoder as decoder_mod
+from video_captioning_tpu.models import init_model
+
+START, END = 1, 2
+
+
+def _setup(tiny_config, vocab=9, B=2, key=0):
+    params = init_model(jax.random.PRNGKey(key), tiny_config, vocab)
+    feats = jax.random.normal(
+        jax.random.PRNGKey(key + 1), (B, 10, tiny_config.model.cnn_feature_dim)
+    )
+    enc_outs, final, mask = captioner.encode(params, tiny_config, feats)
+    return params, enc_outs, final, mask
+
+
+def _manual_greedy(params, config, enc_outs, final, mask, max_len):
+    """Reference-style Python loop using decoder_step (oracle)."""
+    dec = params["decoder"]
+    B = enc_outs.shape[0]
+    state = decoder_mod.init_hidden_state(dec, config, final)
+    cache = attn_mod.precompute(config, dec["attention"], enc_outs)
+    tok = jnp.full((B,), START, jnp.int32)
+    out = []
+    for _ in range(max_len):
+        logits, state, _ = decoder_mod.decoder_step(
+            dec, config, tok, state, enc_outs, cache, mask
+        )
+        tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        out.append(np.asarray(tok))
+        if bool(jnp.all(tok == END)):
+            break
+    res = np.stack(out, axis=1)
+    return res
+
+
+def test_greedy_matches_manual_loop(tiny_config):
+    params, enc_outs, final, mask = _setup(tiny_config)
+    got = greedy_generate(
+        params, tiny_config, enc_outs, final, START, END, 8, mask
+    )["generated_tokens"]
+    want = _manual_greedy(params, tiny_config, enc_outs, final, mask, 8)
+    got = np.asarray(got)
+    # while_loop output is PAD-filled after the all-ended step; the manual
+    # loop simply stops. Compare the overlapping prefix.
+    np.testing.assert_array_equal(got[:, : want.shape[1]], want)
+
+
+def _sequence_logprob(params, config, enc_outs, final, mask, tokens):
+    """Model log-prob of generating `tokens` (list ending with END) for
+    batch item 0, via teacher forcing."""
+    dec = params["decoder"]
+    state = decoder_mod.init_hidden_state(dec, config, final)
+    cache = attn_mod.precompute(config, dec["attention"], enc_outs)
+    inp = START
+    total = 0.0
+    for tok in tokens:
+        logits, state, _ = decoder_mod.decoder_step(
+            dec, config, jnp.full((enc_outs.shape[0],), inp, jnp.int32),
+            state, enc_outs, cache, mask,
+        )
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        total += float(logp[0, tok])
+        inp = tok
+    return total
+
+
+@pytest.mark.slow
+def test_beam_matches_exhaustive_search(tiny_config):
+    """With beam >= number of live prefixes the beam search is exhaustive;
+    its best hypothesis must equal brute-force argmax of the length-
+    penalized completed-sequence score."""
+    V, max_len, K, alpha = 6, 3, 30, 0.7
+    params, enc_outs, final, mask = _setup(tiny_config, vocab=V, B=1, key=7)
+
+    out = beam_search_generate(
+        params, tiny_config, enc_outs, final, START, END, max_len, mask,
+        beam_size=K, length_penalty=alpha,
+    )
+    got_tokens = np.asarray(out["generated_tokens"][0]).tolist()
+    got_score = float(np.asarray(out["all_scores"][0]).max())
+
+    # Brute force: all sequences of non-END tokens followed by END, with
+    # total generated length 1..max_len.
+    best_score, best_seq = -np.inf, None
+    non_end = [t for t in range(V) if t != END]
+    for gen_len in range(1, max_len + 1):
+        for prefix in itertools.product(non_end, repeat=gen_len - 1):
+            seq = list(prefix) + [END]
+            lp = _sequence_logprob(params, tiny_config, enc_outs, final, mask, seq)
+            score = lp / (gen_len ** alpha)
+            if score > best_score:
+                best_score, best_seq = score, seq
+
+    assert abs(got_score - best_score) < 1e-3, (got_score, best_score)
+    # generated_tokens = [START] + tokens (+ padding)
+    np.testing.assert_array_equal(got_tokens[1 : 1 + len(best_seq)], best_seq)
+
+
+def test_beam_batch_items_independent(tiny_config):
+    """Each batch item must get ITS best sequence (the reference returns the
+    globally best sequence for every item — fixed here)."""
+    params, enc_outs, final, mask = _setup(tiny_config, vocab=9, B=3, key=3)
+    full = beam_search_generate(
+        params, tiny_config, enc_outs, final, START, END, 6, mask, beam_size=4
+    )["generated_tokens"]
+    for i in range(3):
+        solo = beam_search_generate(
+            params, tiny_config, enc_outs[i : i + 1], final[i : i + 1], START,
+            END, 6, mask[i : i + 1], beam_size=4,
+        )["generated_tokens"]
+        np.testing.assert_array_equal(np.asarray(full[i]), np.asarray(solo[0]))
+
+
+def test_beam_scores_sorted_and_finite(tiny_config):
+    params, enc_outs, final, mask = _setup(tiny_config, vocab=9, B=2)
+    out = beam_search_generate(
+        params, tiny_config, enc_outs, final, START, END, 6, mask, beam_size=5
+    )
+    scores = np.asarray(out["all_scores"])
+    assert scores.shape == (2, 5)
+    fin = scores[scores > -1e8]
+    assert len(fin) >= 2  # at least the best per item
+    # register is sorted descending
+    s0 = scores[0]
+    assert all(s0[i] >= s0[i + 1] for i in range(len(s0) - 1))
+
+
+def test_greedy_temperature_changes_nothing_for_argmax_order(tiny_config):
+    # argmax(logits/T) == argmax(logits) for T>0 — parity sanity with the
+    # reference's temperature handling in greedy mode.
+    params, enc_outs, final, mask = _setup(tiny_config)
+    a = greedy_generate(
+        params, tiny_config, enc_outs, final, START, END, 6, mask, temperature=1.0
+    )["generated_tokens"]
+    b = greedy_generate(
+        params, tiny_config, enc_outs, final, START, END, 6, mask, temperature=0.7
+    )["generated_tokens"]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

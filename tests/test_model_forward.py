@@ -1,0 +1,144 @@
+"""Model forward-pass shape/semantics tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from video_captioning_tpu.models import (
+    apply_model,
+    captioner,
+    count_params,
+    encode,
+    init_model,
+)
+
+VOCAB = 23
+
+
+@pytest.fixture
+def params(tiny_config):
+    return init_model(jax.random.PRNGKey(0), tiny_config, VOCAB)
+
+
+def _features(tiny_config, B=3, key=1):
+    return jax.random.normal(
+        jax.random.PRNGKey(key), (B, 10, tiny_config.model.cnn_feature_dim)
+    )
+
+
+def test_forward_shapes(tiny_config, params):
+    feats = _features(tiny_config)
+    tokens = jnp.ones((3, 7), jnp.int32)
+    out = apply_model(params, tiny_config, feats, tokens)
+    assert out["logits"].shape == (3, 7, VOCAB)
+    assert out["attention_weights"].shape == (3, 7, 10)
+    assert out["encoder_outputs"].shape == (3, 10, tiny_config.model.encoder_hidden_dim)
+
+
+def test_eval_deterministic(tiny_config, params):
+    feats = _features(tiny_config)
+    tokens = jnp.ones((3, 7), jnp.int32)
+    a = apply_model(params, tiny_config, feats, tokens)["logits"]
+    b = apply_model(params, tiny_config, feats, tokens)["logits"]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_train_dropout_changes_output(tiny_config, params):
+    feats = _features(tiny_config)
+    tokens = jnp.ones((3, 7), jnp.int32)
+    a = apply_model(
+        params, tiny_config, feats, tokens, train=True, rng=jax.random.PRNGKey(1)
+    )["logits"]
+    b = apply_model(
+        params, tiny_config, feats, tokens, train=True, rng=jax.random.PRNGKey(2)
+    )["logits"]
+    assert np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-6
+
+
+def test_masked_encode_ignores_padding(tiny_config, params):
+    """Encoding [x ; garbage] with a mask must equal encoding x alone."""
+    B, T_valid, T_full = 2, 6, 10
+    F = tiny_config.model.cnn_feature_dim
+    x = jax.random.normal(jax.random.PRNGKey(3), (B, T_valid, F))
+    garbage = 1e3 * jax.random.normal(jax.random.PRNGKey(4), (B, T_full - T_valid, F))
+    x_padded = jnp.concatenate([x, garbage], axis=1)
+    mask = jnp.concatenate(
+        [jnp.ones((B, T_valid)), jnp.zeros((B, T_full - T_valid))], axis=1
+    )
+
+    enc_full, final_full, _ = encode(params, tiny_config, x_padded, mask)
+    enc_short, final_short, _ = encode(params, tiny_config, x)
+
+    np.testing.assert_allclose(
+        np.asarray(enc_full[:, :T_valid]), np.asarray(enc_short),
+        rtol=1e-5, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(final_full), np.asarray(final_short), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_all_attention_types_forward(tiny_config):
+    feats = _features(tiny_config)
+    tokens = jnp.ones((3, 5), jnp.int32)
+    for kind in ["bahdanau", "luong", "multihead"]:
+        tiny_config.model.attention_type = kind
+        tiny_config.validate()
+        p = init_model(jax.random.PRNGKey(0), tiny_config, VOCAB)
+        out = apply_model(p, tiny_config, feats, tokens)
+        assert out["logits"].shape == (3, 5, VOCAB)
+    tiny_config.model.attention_type = "bahdanau"
+
+
+def test_luong_score_variants(tiny_config):
+    feats = _features(tiny_config)
+    tokens = jnp.ones((3, 4), jnp.int32)
+    tiny_config.model.attention_type = "luong"
+    for score in ["dot", "general", "concat"]:
+        tiny_config.model.luong_score = score
+        tiny_config.validate()
+        p = init_model(jax.random.PRNGKey(0), tiny_config, VOCAB)
+        out = apply_model(p, tiny_config, feats, tokens)
+        assert out["logits"].shape == (3, 4, VOCAB)
+    tiny_config.model.attention_type = "bahdanau"
+    tiny_config.model.luong_score = "general"
+
+
+def test_no_attention_path(tiny_config):
+    tiny_config.model.use_attention = False
+    p = init_model(jax.random.PRNGKey(0), tiny_config, VOCAB)
+    out = apply_model(p, tiny_config, _features(tiny_config), jnp.ones((3, 5), jnp.int32))
+    assert out["logits"].shape == (3, 5, VOCAB)
+    assert out["attention_weights"] is None
+    tiny_config.model.use_attention = True
+
+
+def test_init_state_projection_when_dims_differ(tiny_config):
+    tiny_config.model.decoder_hidden_dim = 24  # != encoder 16
+    p = init_model(jax.random.PRNGKey(0), tiny_config, VOCAB)
+    assert "init_state_projection" in p["decoder"]
+    out = apply_model(p, tiny_config, _features(tiny_config), jnp.ones((3, 5), jnp.int32))
+    assert out["logits"].shape == (3, 5, VOCAB)
+    tiny_config.model.decoder_hidden_dim = 16
+
+
+def test_grads_flow_everywhere(tiny_config, params):
+    feats = _features(tiny_config)
+    tokens = jnp.ones((3, 5), jnp.int32)
+
+    def loss(p):
+        return apply_model(p, tiny_config, feats, tokens)["logits"].sum()
+
+    grads = jax.grad(loss)(params)
+    zero_leaves = [
+        path
+        for path, leaf in jax.tree_util.tree_leaves_with_path(grads)
+        if float(jnp.abs(leaf).max()) == 0.0
+    ]
+    assert not zero_leaves, f"zero grads at {zero_leaves}"
+
+
+def test_count_params(params):
+    assert count_params(params) > 0

@@ -1,0 +1,139 @@
+"""End-to-end training on synthetic data: loss must fall, checkpoints must
+round-trip, and the inference package must reproduce the trained model's
+captions through the predictor."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import jax
+
+from video_captioning_tpu.data.pipeline import create_data_loaders
+from video_captioning_tpu.data.vocabulary import Vocabulary
+from video_captioning_tpu.inference import VideoCaptionPredictor
+from video_captioning_tpu.models import init_model
+from video_captioning_tpu.parallel import make_mesh
+from video_captioning_tpu.training import VideoCaptioningTrainer
+from video_captioning_tpu.utils.checkpoint import CheckpointManager
+
+
+def _mesh4(cfg):
+    """4-device mesh so batch_size=4 shards evenly on the 8-CPU harness."""
+    return make_mesh(cfg, jax.devices()[:4])
+
+
+@pytest.fixture
+def synthetic_setup(tmp_path, tiny_config):
+    """A learnable toy task: feature pattern i ↔ caption i."""
+    cfg = tiny_config
+    cfg.data.vocab_threshold = 1
+    cfg.training.batch_size = 4
+    cfg.training.num_epochs = 3
+    cfg.training.learning_rate = 5e-3
+    cfg.experiment.checkpoint_dir = tmp_path / "ckpt"
+    cfg.experiment.use_tensorboard = False
+    cfg.experiment.use_wandb = False
+    cfg.validate()
+
+    captions = [
+        "a man is running",
+        "a dog is barking",
+        "a cat is sleeping",
+        "a bird is flying",
+    ]
+    rs = np.random.RandomState(0)
+    patterns = rs.randn(4, cfg.model.cnn_feature_dim).astype(np.float32)
+    rows = []
+    for i in range(16):
+        cls = i % 4
+        feats = patterns[cls][None].repeat(cfg.data.frames_per_video, 0)
+        feats = feats + 0.01 * rs.randn(*feats.shape).astype(np.float32)
+        path = tmp_path / f"v{i}.npy"
+        np.save(path, feats)
+        rows.append(
+            {"video_id": f"v{i}", "video_path": "", "feature_path": str(path),
+             "caption": captions[cls]}
+        )
+    df = pd.DataFrame(rows)
+
+    vocab = Vocabulary(cfg)
+    vocab.build_vocabulary(captions)
+
+    train_df, val_df = df.iloc[:12], df.iloc[12:]
+    train_loader, val_loader, _ = create_data_loaders(cfg, vocab, train_df, val_df)
+    params = init_model(jax.random.PRNGKey(0), cfg, len(vocab))
+    return cfg, vocab, params, train_loader, val_loader
+
+
+@pytest.mark.slow
+def test_training_learns_and_roundtrips(synthetic_setup, tmp_path):
+    cfg, vocab, params, train_loader, val_loader = synthetic_setup
+
+    trainer = VideoCaptioningTrainer(params, cfg, vocab, train_loader, val_loader, mesh=_mesh4(cfg))
+    first_epoch = trainer.train_epoch()
+    for _ in range(14):
+        trainer.current_epoch += 1
+        last_epoch = trainer.train_epoch()
+    assert last_epoch["loss"] < first_epoch["loss"] * 0.7, (
+        first_epoch, last_epoch,
+    )
+
+    val = trainer.validate_epoch()
+    assert "bleu_4" in val and "cider" in val and "loss" in val
+    # The toy task is memorizable: BLEU-1 should be clearly above chance.
+    assert val["bleu_1"] > 0.3, val
+
+    # Checkpoint round-trip through a fresh trainer.
+    trainer._save(epoch=14, metrics=val, is_best=True)
+    params2 = init_model(jax.random.PRNGKey(1), cfg, len(vocab))
+    trainer2 = VideoCaptioningTrainer(params2, cfg, vocab, train_loader, val_loader, mesh=_mesh4(cfg))
+    trainer2.load_checkpoint(cfg.experiment.checkpoint_dir / "best_model.pth")
+    assert trainer2.current_epoch == 14
+    val2 = trainer2.validate_epoch()
+    assert abs(val2["loss"] - val["loss"]) < 1e-4
+
+    # Inference package → predictor reproduces captions.
+    mgr = CheckpointManager(cfg.experiment.checkpoint_dir)
+    pkg_path = mgr.save_model_for_inference(trainer.params, vocab, cfg)
+    predictor = VideoCaptionPredictor(pkg_path)
+
+    feats = np.load(train_loader.dataset.data_df.iloc[0]["feature_path"])
+    greedy = predictor.predict_from_features(feats, method="greedy", max_length=8)
+    assert isinstance(greedy["caption"], str) and greedy["tokens"]
+    beam = predictor.predict_from_features(
+        feats, method="beam", max_length=8, beam_size=3
+    )
+    assert isinstance(beam["caption"], str)
+
+    batch_results = predictor.predict_batch(
+        [np.load(p) for p in train_loader.dataset.data_df["feature_path"][:4]],
+        method="greedy", max_length=8,
+    )
+    assert len(batch_results) == 4
+    # Batched predictions must match per-item predictions.
+    for i, r in enumerate(batch_results):
+        solo = predictor.predict_from_features(
+            np.load(train_loader.dataset.data_df.iloc[i]["feature_path"]),
+            method="greedy", max_length=8,
+        )
+        assert r["caption"] == solo["caption"]
+
+    multi = predictor.generate_multiple_captions(
+        feats, num_captions=3, method="beam", beam_size=5, max_length=8
+    )
+    assert len(multi) == 3
+    assert multi[0]["score"] >= multi[-1]["score"]
+
+
+@pytest.mark.slow
+def test_schedulers_update_lr(synthetic_setup):
+    cfg, vocab, params, train_loader, val_loader = synthetic_setup
+    cfg.training.scheduler = "cosine"
+    cfg.training.num_epochs = 5
+    trainer = VideoCaptioningTrainer(params, cfg, vocab, train_loader, val_loader, mesh=_mesh4(cfg))
+    from video_captioning_tpu.training import optim
+
+    lr0 = optim.get_learning_rate(trainer.opt_state)
+    trainer._scheduler_step(0, {})
+    lr1 = optim.get_learning_rate(trainer.opt_state)
+    assert lr1 < lr0

@@ -1,0 +1,140 @@
+"""Training CLI (parity: reference src/train.py:22-173).
+
+Same flags and behavior: ``--data-file`` CSV in, vocabulary built-or-loaded
+at ``<checkpoint-dir>/vocabulary.json``, sklearn seed-42 splits, resume via
+``--resume``, post-training inference-package save, KeyboardInterrupt →
+emergency checkpoint. Plus a *working* ``--config`` YAML/JSON loader (the
+reference parses the flag but never reads it, train.py:60) and TPU knobs
+(``--compute-dtype``, ``--attention-type``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+from pathlib import Path
+
+from ..config import Config
+from ..utils.logging import setup_logging
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="Train video captioning model")
+    parser.add_argument("--config", type=str, help="Path to config file (YAML/JSON)")
+    parser.add_argument("--data-file", type=str, required=True, help="Path to captions CSV file")
+    parser.add_argument("--checkpoint-dir", type=str, default="checkpoints", help="Checkpoint directory")
+    parser.add_argument("--resume", type=str, help="Path to checkpoint to resume from")
+    parser.add_argument("--batch-size", type=int, help="Batch size override")
+    parser.add_argument("--learning-rate", type=float, help="Learning rate override")
+    parser.add_argument("--epochs", type=int, help="Number of epochs override")
+    parser.add_argument("--device", type=str, help="Platform override (tpu/cpu)")
+    parser.add_argument("--log-level", type=str, default="INFO", help="Logging level")
+    parser.add_argument("--wandb", action="store_true", help="Use Weights & Biases logging")
+    parser.add_argument("--no-tensorboard", action="store_true", help="Disable TensorBoard logging")
+    parser.add_argument("--attention-type", type=str, choices=["bahdanau", "luong", "multihead"],
+                        help="Attention mechanism override")
+    parser.add_argument("--compute-dtype", type=str, choices=["float32", "bfloat16"],
+                        help="Device compute dtype")
+    parser.add_argument("--seed", type=int, help="Random seed override")
+    parser.add_argument("--profile-dir", type=str, help="Write a jax.profiler trace here")
+    return parser
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+
+    setup_logging(args.log_level, log_file="training.log")
+    logger = logging.getLogger(__name__)
+
+    if args.device:
+        import jax
+
+        jax.config.update("jax_platforms", args.device)
+
+    config = Config.from_file(Path(args.config)) if args.config else Config()
+
+    if args.batch_size:
+        config.training.batch_size = args.batch_size
+    if args.learning_rate:
+        config.training.learning_rate = args.learning_rate
+    if args.epochs:
+        config.training.num_epochs = args.epochs
+    if args.wandb:
+        config.experiment.use_wandb = True
+    if args.no_tensorboard:
+        config.experiment.use_tensorboard = False
+    if args.attention_type:
+        config.model.attention_type = args.attention_type
+    if args.compute_dtype:
+        config.training.compute_dtype = args.compute_dtype
+    if args.seed is not None:
+        config.training.seed = args.seed
+    if args.profile_dir:
+        config.experiment.profile_dir = Path(args.profile_dir)
+
+    config.data.captions_file = Path(args.data_file)
+    config.experiment.checkpoint_dir = Path(args.checkpoint_dir)
+    config.validate()
+    config.ensure_dirs()
+
+    import jax
+
+    from ..data.pipeline import create_data_loaders, prepare_data
+    from ..data.vocabulary import Vocabulary, build_vocabulary_from_csv
+    from ..models import captioner
+    from ..training.trainer import VideoCaptioningTrainer
+    from ..utils.checkpoint import CheckpointManager
+
+    logger.info(f"Devices: {jax.devices()}")
+
+    logger.info("Preparing data...")
+    train_df, val_df, test_df = prepare_data(config)
+
+    vocabulary_path = config.experiment.checkpoint_dir / "vocabulary.json"
+    if vocabulary_path.exists():
+        logger.info("Loading existing vocabulary...")
+        vocabulary = Vocabulary.load(vocabulary_path, config)
+    else:
+        logger.info("Building new vocabulary...")
+        vocabulary = build_vocabulary_from_csv(config.data.captions_file, config, "caption")
+        vocabulary.save(vocabulary_path)
+    config.model.vocab_size = len(vocabulary)
+
+    logger.info("Creating data loaders...")
+    train_loader, val_loader, test_loader = create_data_loaders(
+        config, vocabulary, train_df, val_df, test_df,
+        shard_index=jax.process_index(), num_shards=jax.process_count(),
+    )
+
+    logger.info("Initializing model...")
+    params = captioner.init_model(
+        jax.random.PRNGKey(config.training.seed), config, len(vocabulary)
+    )
+    logger.info(f"Model has {captioner.count_params(params):,} trainable parameters")
+
+    trainer = VideoCaptioningTrainer(
+        params, config, vocabulary, train_loader, val_loader
+    )
+
+    if args.resume:
+        logger.info(f"Resuming from checkpoint: {args.resume}")
+        trainer.load_checkpoint(Path(args.resume))
+
+    logger.info("Starting training...")
+    try:
+        results = trainer.train()
+        logger.info("Training completed successfully!")
+        logger.info(f"Best validation score: {results['best_val_score']:.4f}")
+
+        manager = CheckpointManager(config.experiment.checkpoint_dir)
+        pkg = manager.save_model_for_inference(trainer.params, vocabulary, config)
+        logger.info(f"Saved inference model to: {pkg}")
+
+    except KeyboardInterrupt:
+        logger.info("Training interrupted by user")
+        trainer._save(trainer.current_epoch, {}, is_best=False)
+        logger.info("Saved current training state")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,117 @@
+"""Host-side video frame extraction.
+
+Capability parity with the reference's three extraction sites
+(preprocess.py:80-123, dataset.py:222-261, predictor.py:254-290): uniform
+``linspace`` sampling of ``frames_per_video`` frames, BGR→RGB conversion,
+and both padding conventions the reference uses in different places:
+
+* ``pad_mode="last"`` — repeat the last decoded frame (preprocess.py:117-121)
+* ``pad_mode="zero"`` — zero frames (dataset.py:258-260, predictor.py:287-289)
+
+Perf fix vs the reference (documented divergence): the reference seeks with
+``CAP_PROP_POS_FRAMES`` once *per sampled frame*, re-entering the codec's
+keyframe scan ~80 times per clip. Here we decode sequentially and keep only
+the sampled indices — same frames, one pass. ImageNet normalization is NOT
+done here; it is fused on-device with the CNN (see models.backbones).
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+try:
+    import cv2
+
+    CV2_AVAILABLE = True
+except ImportError:  # pragma: no cover
+    CV2_AVAILABLE = False
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], dtype=np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], dtype=np.float32)
+
+
+def uniform_frame_indices(total_frames: int, num_frames: int) -> np.ndarray:
+    """linspace sampling identical to the reference (preprocess.py:98-101)."""
+    if total_frames <= num_frames:
+        return np.arange(total_frames)
+    return np.linspace(0, total_frames - 1, num_frames, dtype=int)
+
+
+def extract_frames(
+    video_path: Path,
+    num_frames: int = 80,
+    *,
+    resize: Optional[Tuple[int, int]] = None,
+    pad_mode: str = "last",
+) -> np.ndarray:
+    """Decode a video into (num_frames, H, W, 3) uint8 RGB.
+
+    resize: optional (height, width) applied per frame.
+    """
+    if not CV2_AVAILABLE:
+        raise RuntimeError("OpenCV (cv2) is required for video decoding")
+
+    cap = cv2.VideoCapture(str(video_path))
+    if not cap.isOpened():
+        raise ValueError(f"Cannot open video: {video_path}")
+
+    total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    wanted = set(uniform_frame_indices(total, num_frames).tolist())
+
+    frames: List[np.ndarray] = []
+    pos = 0
+    while pos < total and len(frames) < min(num_frames, total):
+        ret, frame = cap.read()
+        if not ret:
+            break
+        if pos in wanted:
+            frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+            if resize is not None:
+                frame = cv2.resize(frame, (resize[1], resize[0]))
+            frames.append(frame)
+        pos += 1
+    cap.release()
+
+    if not frames:
+        h, w = resize if resize is not None else (480, 640)
+        frames = [np.zeros((h, w, 3), dtype=np.uint8)]
+        logger.warning(f"No frames decoded from {video_path}; using a blank frame")
+
+    while len(frames) < num_frames:
+        if pad_mode == "last":
+            frames.append(frames[-1].copy())
+        elif pad_mode == "zero":
+            frames.append(np.zeros_like(frames[0]))
+        else:
+            raise ValueError(f"Unknown pad_mode: {pad_mode}")
+
+    return np.stack(frames[:num_frames])
+
+
+def pixel_stub_features(
+    frames: np.ndarray, feature_dim: int = 4096
+) -> np.ndarray:
+    """The reference predictor's on-the-fly 'feature extractor'
+    (predictor.py:230-252): flattened raw pixels truncated/zero-padded to
+    feature_dim. Kept as a compatibility mode; the real CNN path is the
+    default elsewhere."""
+    out = []
+    for frame in frames:
+        flat = frame.reshape(-1)[:feature_dim].astype(np.float32)
+        if flat.size < feature_dim:
+            flat = np.pad(flat, (0, feature_dim - flat.size))
+        out.append(flat)
+    return np.stack(out)
+
+
+def normalize_frames_host(frames: np.ndarray) -> np.ndarray:
+    """uint8 RGB (…, H, W, 3) → ImageNet-normalized float32 (host path;
+    the device path fuses this into the CNN input cast)."""
+    x = frames.astype(np.float32) / 255.0
+    return (x - IMAGENET_MEAN) / IMAGENET_STD
