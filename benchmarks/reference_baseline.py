@@ -50,7 +50,8 @@ class _ShimModelConfig:
 
 
 class _ShimConfig:
-    model = _ShimModelConfig()
+    def __init__(self):
+        self.model = _ShimModelConfig()
 
 
 def load_reference_modules():
