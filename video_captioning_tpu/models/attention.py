@@ -128,6 +128,20 @@ def attend(
 ) -> Tuple[Array, Array]:
     kind = config.model.attention_type
     if kind == "bahdanau":
+        if config.kernels.use_pallas_attention and not train:
+            from ..ops.attention_pallas import bahdanau_attend_pallas
+
+            return bahdanau_attend_pallas(
+                decoder_hidden,
+                params["decoder_projection"]["kernel"],
+                params["decoder_projection"]["bias"],
+                cache["enc_proj"],
+                encoder_outputs,
+                params["attention_linear"]["kernel"][:, 0],
+                params["attention_linear"]["bias"],
+                encoder_mask,
+                interpret=config.kernels.interpret,
+            )
         scores = _bahdanau_scores(params, cache, decoder_hidden)
     elif kind == "luong":
         scores = _luong_scores(config, params, cache, encoder_outputs, decoder_hidden)

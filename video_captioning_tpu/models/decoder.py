@@ -102,10 +102,19 @@ def _lstm_stack_step(
     h_prev, c_prev = state
     p_drop = config.model.decoder_dropout
     num_layers = len(params["lstm"])
+    use_pallas = config.kernels.use_pallas_lstm and not train
     hs, cs = [], []
     inp = x
     for l, layer in enumerate(params["lstm"]):
-        h_new, c_new = lstm_cell(layer, inp, h_prev[l], c_prev[l])
+        if use_pallas:
+            from ..ops.lstm_pallas import lstm_cell_pallas
+
+            h_new, c_new = lstm_cell_pallas(
+                layer, inp, h_prev[l], c_prev[l],
+                interpret=config.kernels.interpret,
+            )
+        else:
+            h_new, c_new = lstm_cell(layer, inp, h_prev[l], c_prev[l])
         hs.append(h_new)
         cs.append(c_new)
         inp = h_new
