@@ -165,3 +165,19 @@ def test_set_learning_rate_roundtrip():
     grads = {"w": jnp.ones((2, 2))}
     updates, state = tx.update(grads, state, params)
     assert updates["w"].shape == (2, 2)
+
+
+def test_frozen_encoder_mask():
+    """optax-masked freezing: encoder params get zero updates (TPU-native
+    equivalent of reference freeze_encoder, video_captioning_model.py:308)."""
+    cfg = Config()
+    tx = optim.build_optimizer(cfg, frozen_prefixes=("encoder",))
+    params = {"encoder": {"w": jnp.ones((2, 2))}, "decoder": {"w": jnp.ones((2, 2))}}
+    state = tx.init(params)
+    grads = {"encoder": {"w": jnp.ones((2, 2))}, "decoder": {"w": jnp.ones((2, 2))}}
+    updates, state = tx.update(grads, state, params)
+    assert float(jnp.abs(updates["encoder"]["w"]).max()) == 0.0
+    assert float(jnp.abs(updates["decoder"]["w"]).max()) > 0.0
+    # LR scheduling still reaches the inject state through the mask.
+    state = optim.set_learning_rate(state, 1e-5)
+    assert abs(optim.get_learning_rate(state) - 1e-5) < 1e-9

@@ -108,6 +108,9 @@ class TrainingConfig:
     # TPU-first knobs (no reference analog; the reference is fp32 single-GPU)
     compute_dtype: str = "float32"  # float32 | bfloat16
     donate_state: bool = True
+    # Freeze the video encoder (reference freeze_encoder,
+    # video_captioning_model.py:308-316) — optax multi_transform masking.
+    freeze_encoder: bool = False
 
 
 @dataclass

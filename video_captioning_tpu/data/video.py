@@ -115,3 +115,31 @@ def normalize_frames_host(frames: np.ndarray) -> np.ndarray:
     the device path fuses this into the CNN input cast)."""
     x = frames.astype(np.float32) / 255.0
     return (x - IMAGENET_MEAN) / IMAGENET_STD
+
+
+class VideoFrameDataset:
+    """Raw-video dataset: decode + sample frames on demand (parity:
+    reference VideoFeatureDataset, dataset.py:169-261, zero-pad mode).
+    Yields uint8 RGB frames; normalization happens fused on-device in the
+    CNN (models.backbones)."""
+
+    def __init__(self, video_paths, config):
+        self.video_paths = [Path(p) for p in video_paths]
+        self.config = config
+
+    def __len__(self) -> int:
+        return len(self.video_paths)
+
+    def __getitem__(self, idx: int) -> dict:
+        path = self.video_paths[idx]
+        frames = extract_frames(
+            path,
+            self.config.data.frames_per_video,
+            resize=tuple(self.config.data.img_size),
+            pad_mode="zero",
+        )
+        return {
+            "frames": frames,
+            "video_path": str(path),
+            "video_id": path.stem,
+        }

@@ -218,3 +218,28 @@ def attention_once(
         config, params, cache, encoder_outputs, decoder_hidden, encoder_mask,
         train=train, rng=rng,
     )
+
+
+def create_attention_mechanism(config: Config, attention_type: str = None):
+    """Factory returning (init_fn, attend_fn) for an attention type
+    (API familiar from reference attention.py:278-296). Prefer setting
+    ``config.model.attention_type`` and using init_attention/attend
+    directly; this exists for reference-shaped code."""
+    import copy
+
+    cfg = copy.deepcopy(config)
+    if attention_type is not None:
+        cfg.model.attention_type = attention_type
+        cfg.validate()
+
+    def init_fn(key):
+        return init_attention(key, cfg)
+
+    def attend_fn(params, encoder_outputs, decoder_hidden, encoder_mask=None,
+                  *, train=False, rng=None):
+        return attention_once(
+            cfg, params, encoder_outputs, decoder_hidden, encoder_mask,
+            train=train, rng=rng,
+        )
+
+    return init_fn, attend_fn

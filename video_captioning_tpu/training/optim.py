@@ -28,12 +28,23 @@ import math
 from dataclasses import dataclass
 from typing import Optional
 
+import jax
 import optax
 
 from ..config import Config
 
 
-def build_optimizer(config: Config) -> optax.GradientTransformation:
+def build_optimizer(
+    config: Config, frozen_prefixes: tuple = ()
+) -> optax.GradientTransformation:
+    """Build the configured optimizer.
+
+    ``frozen_prefixes``: top-level param subtrees to freeze (e.g.
+    ``("encoder",)``) — the TPU-native equivalent of the reference's
+    ``freeze_encoder`` / ``unfreeze_encoder`` requires_grad toggles
+    (video_captioning_model.py:308-316), implemented as optax masking so
+    frozen subtrees receive zero updates.
+    """
     name = config.training.optimizer.lower()
     wd = config.training.weight_decay
 
@@ -69,33 +80,64 @@ def build_optimizer(config: Config) -> optax.GradientTransformation:
     clip = config.training.gradient_clip_norm
     if clip and clip > 0:
         tx = optax.chain(optax.clip_by_global_norm(clip), tx)
+
+    if frozen_prefixes:
+
+        def label_fn(params):
+            return {
+                k: jax.tree_util.tree_map(
+                    lambda _: "frozen" if k in frozen_prefixes else "train", v
+                )
+                for k, v in params.items()
+            }
+
+        tx = optax.multi_transform(
+            {"train": tx, "frozen": optax.set_to_zero()}, label_fn
+        )
     return tx
 
 
 def set_learning_rate(opt_state, lr: float):
-    """Write the scheduled LR into an inject_hyperparams state."""
-    # With a leading clip transform the inject state is the second element.
-    if isinstance(opt_state, tuple) and not hasattr(opt_state, "hyperparams"):
+    """Write the scheduled LR into an inject_hyperparams state (recurses
+    through chain tuples and optax.masked wrappers)."""
+    if hasattr(opt_state, "hyperparams"):
+        return opt_state._replace(
+            hyperparams={**opt_state.hyperparams, "learning_rate": lr}
+        )
+    if hasattr(opt_state, "inner_state"):
+        return opt_state._replace(
+            inner_state=set_learning_rate(opt_state.inner_state, lr)
+        )
+    if hasattr(opt_state, "inner_states"):  # optax.multi_transform
+        states = dict(opt_state.inner_states)
+        states["train"] = set_learning_rate(states["train"], lr)
+        return opt_state._replace(inner_states=states)
+    if isinstance(opt_state, tuple):
         inner = list(opt_state)
         for i, s in enumerate(inner):
-            if hasattr(s, "hyperparams"):
-                inner[i] = s._replace(
-                    hyperparams={**s.hyperparams, "learning_rate": lr}
-                )
+            try:
+                inner[i] = set_learning_rate(s, lr)
                 return tuple(inner)
+            except ValueError:
+                continue
         raise ValueError("No inject_hyperparams state found")
-    return opt_state._replace(
-        hyperparams={**opt_state.hyperparams, "learning_rate": lr}
-    )
+    raise ValueError("No inject_hyperparams state found")
 
 
 def get_learning_rate(opt_state) -> float:
-    if isinstance(opt_state, tuple) and not hasattr(opt_state, "hyperparams"):
+    if hasattr(opt_state, "hyperparams"):
+        return float(opt_state.hyperparams["learning_rate"])
+    if hasattr(opt_state, "inner_state"):
+        return get_learning_rate(opt_state.inner_state)
+    if hasattr(opt_state, "inner_states"):  # optax.multi_transform
+        return get_learning_rate(opt_state.inner_states["train"])
+    if isinstance(opt_state, tuple):
         for s in opt_state:
-            if hasattr(s, "hyperparams"):
-                return float(s.hyperparams["learning_rate"])
-        raise ValueError("No inject_hyperparams state found")
-    return float(opt_state.hyperparams["learning_rate"])
+            try:
+                return get_learning_rate(s)
+            except ValueError:
+                continue
+    raise ValueError("No inject_hyperparams state found")
 
 
 # --------------------------------------------------------------------------

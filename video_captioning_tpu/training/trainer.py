@@ -89,8 +89,9 @@ class VideoCaptioningTrainer:
                 "batch_size or pass a smaller mesh"
             )
 
-        # Optimizer
-        self.tx = optim.build_optimizer(config)
+        # Optimizer (optionally with the encoder subtree frozen)
+        frozen = ("encoder",) if config.training.freeze_encoder else ()
+        self.tx = optim.build_optimizer(config, frozen_prefixes=frozen)
 
         # Place params per sharding rules, init opt state on-device so its
         # moments inherit the param shardings.
