@@ -82,6 +82,43 @@ class VideoCaptioningDataset:
     def __len__(self) -> int:
         return len(self.data_df)
 
+    def get_batch(self, indices) -> Dict[str, np.ndarray]:
+        """Assemble a whole batch. Fast path: the native C++ loader reads,
+        resamples, and packs every feature file of the batch into one
+        (B, T, F) buffer with GIL-free parallel IO; token encoding (cheap)
+        stays in Python. Falls back to per-item loading when the native
+        library or a file layout is unsupported."""
+        from ..native import load_features_batch
+
+        rows = [self.data_df.iloc[int(i)] for i in indices]
+        features = load_features_batch(
+            [r["feature_path"] for r in rows],
+            self.config.data.frames_per_video,
+            self.config.model.cnn_feature_dim,
+        )
+        if features is None:
+            return _collate([self[int(i)] for i in indices])
+
+        batch: Dict[str, object] = {"video_features": features}
+        toks = [self._encode_tokens(r["caption"]) for r in rows]
+        batch["input_tokens"] = np.stack([t[0] for t in toks])
+        batch["target_tokens"] = np.stack([t[1] for t in toks])
+        batch["caption_mask"] = np.stack([t[2] for t in toks])
+        batch["video_id"] = [
+            r.get("video_id", f"video_{i}") for i, r in zip(indices, rows)
+        ]
+        batch["caption_text"] = [r["caption"] for r in rows]
+        return batch
+
+    def _encode_tokens(self, caption: str):
+        token_ids = self.vocabulary.encode_caption(caption)
+        max_len = self.config.model.max_sequence_length
+        pad = self.vocabulary.pad_idx
+        input_tokens = np.asarray(pad_tokens(token_ids[:-1], max_len, pad), np.int32)
+        target_tokens = np.asarray(pad_tokens(token_ids[1:], max_len, pad), np.int32)
+        caption_mask = (input_tokens != pad).astype(np.float32)
+        return input_tokens, target_tokens, caption_mask
+
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         row = self.data_df.iloc[idx]
         features = np.load(row["feature_path"]).astype(np.float32)
@@ -174,12 +211,18 @@ class DataLoader:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
 
+        use_native = hasattr(self.dataset, "get_batch")
+
         def produce():
             try:
-                with ThreadPoolExecutor(self.num_workers) as pool:
+                if use_native:
                     for batch_idx in self._batches():
-                        items = list(pool.map(self.dataset.__getitem__, batch_idx))
-                        out_q.put(_collate(items))
+                        out_q.put(self.dataset.get_batch(batch_idx))
+                else:
+                    with ThreadPoolExecutor(self.num_workers) as pool:
+                        for batch_idx in self._batches():
+                            items = list(pool.map(self.dataset.__getitem__, batch_idx))
+                            out_q.put(_collate(items))
             except Exception as e:  # surface loader errors to the consumer
                 out_q.put(e)
             finally:
