@@ -150,17 +150,58 @@ def measure(clips: int, beam_size: int, runs: int = 3) -> dict:
     return results
 
 
+def measure_training(batch: int, steps: int = 10) -> dict:
+    """Reference training hot loop (trainer.py:198-237): forward, CE loss
+    w/ label smoothing, backward, clip 5.0, Adam step — on torch CPU."""
+    import torch
+
+    torch.manual_seed(0)
+    cfg_mod, model_mod = load_reference_modules()
+    config = cfg_mod.Config()
+    vocab_size = 10000
+    model = model_mod.VideoCaptioningModel(config, vocab_size)
+    model.train()
+    opt = torch.optim.Adam(model.parameters(), lr=1e-4, weight_decay=1e-5)
+    crit = torch.nn.CrossEntropyLoss(ignore_index=0, label_smoothing=0.1)
+
+    feats = torch.randn(batch, 80, config.model.cnn_feature_dim)
+    tokens = torch.randint(0, vocab_size, (batch, 20))
+
+    def step():
+        out = model(video_features=feats, input_tokens=tokens, target_tokens=tokens)
+        loss = crit(out["logits"].reshape(-1, vocab_size), tokens.reshape(-1))
+        opt.zero_grad()
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(model.parameters(), 5.0)
+        opt.step()
+
+    step()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        step()
+    elapsed = time.perf_counter() - t0
+    return {
+        "batch": batch,
+        "steps_per_sec": steps / elapsed,
+        "clips_per_sec": steps * batch / elapsed,
+    }
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--clips", type=int, default=16)
     parser.add_argument("--beam-size", type=int, default=5)
     parser.add_argument("--runs", type=int, default=3)
+    parser.add_argument("--train", action="store_true",
+                        help="also measure the training step")
     parser.add_argument(
         "--out", type=str, default=str(Path(__file__).parent / "reference_cpu.json")
     )
     args = parser.parse_args()
 
     results = measure(args.clips, args.beam_size, args.runs)
+    if args.train:
+        results["train_step"] = measure_training(32)
     payload = {
         "hardware": "cpu (no GPU available; reference GPU path unmeasurable here)",
         "model_scale": "reference defaults: 4096-d feats, 512 hidden, 2+2 layers, vocab 10000",

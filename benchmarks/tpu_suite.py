@@ -1,0 +1,130 @@
+"""Extended TPU measurement suite (beyond bench.py's single headline line).
+
+Measures, on the real chip at reference-default model scale:
+  * batch captioning throughput: greedy and beam-5, fp32 and bf16
+  * single-clip p50 latency (beam-5, B=1) — includes one tunnel round-trip
+    in this environment, noted in the output
+
+Writes benchmarks/tpu_results.json and prints a summary. END is suppressed
+(full 20-step decode; see bench.py). Timing fences via scalar host fetch
+(block_until_ready is a no-op on the axon backend).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+
+from video_captioning_tpu.config import Config
+from video_captioning_tpu.generation.beam import beam_search_generate
+from video_captioning_tpu.generation.greedy import greedy_generate
+from video_captioning_tpu.models import captioner
+
+BATCH = 64
+ITERS = 8
+MAX_LEN = 20
+RUNS = 3
+
+
+def build(dtype):
+    config = Config()
+    params = captioner.init_model(jax.random.PRNGKey(0), config, 10000)
+    bias = params["decoder"]["output_projection"]["bias"]
+    params["decoder"]["output_projection"]["bias"] = bias.at[2].set(-1e9)
+    if dtype == jnp.bfloat16:
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+            params,
+        )
+    return config, params
+
+
+def make_fn(config, method, beam, batch, dtype):
+    def fn(params, feats):
+        enc_outs, final, mask = captioner.encode(params, config, feats)
+        if method == "beam":
+            return beam_search_generate(
+                params, config, enc_outs, final, 1, 2, MAX_LEN, mask,
+                beam_size=beam,
+            )["generated_tokens"]
+        return greedy_generate(
+            params, config, enc_outs, final, 1, 2, MAX_LEN, mask
+        )["generated_tokens"]
+
+    @jax.jit
+    def timed(params, feats):
+        def body(i, acc):
+            tokens = fn(params, feats + i.astype(dtype) * jnp.asarray(1e-3, dtype))
+            return acc + tokens.sum()
+
+        return jax.lax.fori_loop(0, ITERS, body, jnp.int32(0))
+
+    return timed
+
+
+def measure(config, params, method, beam, batch, dtype):
+    feats = jax.random.normal(
+        jax.random.PRNGKey(1), (batch, 80, config.model.cnn_feature_dim), dtype
+    )
+    timed = make_fn(config, method, beam, batch, dtype)
+    int(timed(params, feats))  # compile + fence
+    times = []
+    for _ in range(RUNS):
+        t0 = time.perf_counter()
+        int(timed(params, feats))
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    return batch * ITERS / best, best / ITERS
+
+
+def main():
+    results = {}
+    for dtype_name, dtype in [("float32", jnp.float32), ("bfloat16", jnp.bfloat16)]:
+        config, params = build(dtype)
+        for method, beam in [("greedy", 1), ("beam", 5)]:
+            cps, per_batch = measure(config, params, method, beam, BATCH, dtype)
+            results[f"{method}_{dtype_name}"] = {
+                "clips_per_sec": round(cps, 1),
+                "batch": BATCH,
+                "sec_per_batch": round(per_batch, 5),
+            }
+            print(f"{method:6s} {dtype_name:9s}: {cps:10.1f} clips/sec "
+                  f"({per_batch*1e3:.2f} ms / {BATCH}-clip batch)")
+
+    # Single-clip p50 latency, beam-5 fp32 (one call per clip; includes the
+    # ~35 ms tunnel round-trip of this environment).
+    config, params = build(jnp.float32)
+    feats1 = jax.random.normal(jax.random.PRNGKey(2), (1, 80, 4096), jnp.float32)
+
+    @jax.jit
+    def single(params, feats):
+        enc_outs, final, mask = captioner.encode(params, config, feats)
+        return beam_search_generate(
+            params, config, enc_outs, final, 1, 2, MAX_LEN, mask, beam_size=5
+        )["generated_tokens"].sum()
+
+    int(single(params, feats1))
+    lats = []
+    for _ in range(20):
+        t0 = time.perf_counter()
+        int(single(params, feats1))
+        lats.append(time.perf_counter() - t0)
+    lats.sort()
+    p50 = lats[len(lats) // 2]
+    results["single_clip_latency_beam5"] = {
+        "p50_ms": round(p50 * 1e3, 2),
+        "note": "includes ~35ms tunnel round-trip of this environment",
+    }
+    print(f"single-clip beam-5 p50 latency: {p50*1e3:.1f} ms")
+
+    out = Path(__file__).parent / "tpu_results.json"
+    out.write_text(json.dumps(results, indent=2))
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

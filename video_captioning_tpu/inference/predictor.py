@@ -44,12 +44,25 @@ class VideoCaptionPredictor:
         model_path: Path,
         config: Optional[Config] = None,
         feature_mode: str = "pixel_stub",
+        compute_dtype: Optional[str] = None,
     ):
+        """compute_dtype: "bfloat16" casts params once for ~2x lower HBM
+        traffic in the decode loops (token parity is only guaranteed in the
+        default float32)."""
         self.logger = logging.getLogger(__name__)
         self.feature_mode = feature_mode
         self._gen_cache: Dict[tuple, object] = {}
         self._backbone = None
         self._load_model(Path(model_path), config)
+        if compute_dtype == "bfloat16":
+            import jax.numpy as _jnp
+
+            self.params = jax.tree_util.tree_map(
+                lambda x: x.astype(_jnp.bfloat16)
+                if x.dtype == _jnp.float32
+                else x,
+                self.params,
+            )
 
     # ----------------------------------------------------------- loading
 

@@ -380,6 +380,14 @@ class VideoCaptioningTrainer:
             for k, v in batch.items()
             if isinstance(v, np.ndarray)
         }
+        if self.config.training.compute_dtype == "bfloat16":
+            # Cast features on the host so the host→device transfer ships
+            # half the bytes; the train step would cast on-device anyway.
+            import ml_dtypes
+
+            arrays["video_features"] = arrays["video_features"].astype(
+                ml_dtypes.bfloat16
+            )
         return shard_batch(self.mesh, arrays)
 
     def _pad_batch(self, batch: dict) -> dict:
