@@ -77,12 +77,17 @@ def beam_search_generate(
     L = max_length + 1  # +1 for the START slot
     use_attn = config.model.use_attention
 
-    enc_outs = _expand_for_beams(encoder_outputs, K)  # (B·K, S, E)
-    enc_final = _expand_for_beams(encoder_final_state, K)
-    mask = None if encoder_mask is None else _expand_for_beams(encoder_mask, K)
-
+    # Encoder-side tensors stay UN-expanded (B, S, ·): they are identical
+    # across the K beams, and decoder_step_beam broadcasts over the beam
+    # axis in-register — K× less HBM traffic per decode step than the
+    # reference's literal (B·K) expansion (video_captioning_model.py:179-189).
+    enc_final = _expand_for_beams(encoder_final_state, K)  # init state only
     state0 = decoder_mod.init_hidden_state(dec, config, enc_final)
-    attn_cache = attn_mod.precompute(config, dec["attention"], enc_outs) if use_attn else {}
+    attn_cache = (
+        attn_mod.precompute(config, dec["attention"], encoder_outputs)
+        if use_attn
+        else {}
+    )
 
     sequences0 = jnp.full((B, K, L), start_token_id, jnp.int32)
     # Only beam 0 live at step 0 so identical first expansions don't
@@ -103,11 +108,11 @@ def beam_search_generate(
 
         last_tokens = jnp.take_along_axis(
             sequences, jnp.full((B, K, 1), t, jnp.int32), axis=2
-        )[..., 0].reshape(B * K)
+        )[..., 0]  # (B, K)
 
-        logits, new_state, _ = decoder_mod.decoder_step(
-            dec, config, last_tokens, state, enc_outs, attn_cache, mask,
-            train=False,
+        logits, new_state, _ = decoder_mod.decoder_step_beam(
+            dec, config, last_tokens, state, encoder_outputs, attn_cache,
+            encoder_mask,
         )
         log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
 

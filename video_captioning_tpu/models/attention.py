@@ -243,3 +243,67 @@ def create_attention_mechanism(config: Config, attention_type: str = None):
         )
 
     return init_fn, attend_fn
+
+
+# ==========================================================================
+# Beam-aware attend: queries (B, K, D) against UN-expanded caches (B, S, ·)
+# ==========================================================================
+#
+# Beam search holds K hypotheses per video, but the encoder-side tensors
+# (enc_outs, enc_proj, K/V) are identical across the K beams. Expanding
+# them to (B·K, S, ·) — as a literal port of the reference's
+# video_captioning_model.py:179-189 would — multiplies the decode loop's
+# HBM reads by K. These variants read each cache once per step and
+# broadcast across the beam axis in-register.
+
+
+def attend_beam(
+    config: Config,
+    params: dict,
+    cache: Dict[str, Array],
+    encoder_outputs: Array,  # (B, S, E) — NOT beam-expanded
+    decoder_hidden: Array,   # (B, K, D)
+    encoder_mask: Optional[Array],  # (B, S)
+) -> Tuple[Array, Array]:
+    """Returns (context (B, K, E), weights (B, K, S)). Eval-only (no
+    dropout) — generation never trains."""
+    kind = config.model.attention_type
+    if kind == "bahdanau":
+        dec_proj = apply_linear(params["decoder_projection"], decoder_hidden)
+        combined = jnp.tanh(
+            cache["enc_proj"][:, None, :, :] + dec_proj[:, :, None, :]
+        )  # (B, K, S, A)
+        scores = apply_linear(params["attention_linear"], combined)[..., 0]
+    elif kind == "luong":
+        score = config.model.luong_score
+        if score == "dot":
+            scores = jnp.einsum("bkd,bsd->bks", decoder_hidden, encoder_outputs)
+        elif score == "general":
+            proj = apply_linear(params["linear_in"], decoder_hidden)
+            scores = jnp.einsum("bke,bse->bks", proj, encoder_outputs)
+        else:  # concat
+            dec_proj = apply_linear(params["linear_query"], decoder_hidden)
+            combined = jnp.tanh(
+                dec_proj[:, :, None, :] + cache["enc_proj"][:, None, :, :]
+            )
+            scores = apply_linear(params["linear_v"], combined)[..., 0]
+    elif kind == "multihead":
+        k, v = cache["k"], cache["v"]  # (B, S, H, hd)
+        B, S, H, hd = k.shape
+        K = decoder_hidden.shape[1]
+        q = apply_linear(params["query_linear"], decoder_hidden).reshape(B, K, H, hd)
+        s = jnp.einsum("bkhd,bshd->bkhs", q, k) / jnp.sqrt(jnp.float32(hd))
+        if encoder_mask is not None:
+            s = jnp.where(encoder_mask[:, None, None, :] > 0, s, _MASK_FILL)
+        w = jax.nn.softmax(s, axis=-1)  # (B, K, H, S)
+        ctx = jnp.einsum("bkhs,bshd->bkhd", w, v).reshape(B, K, H * hd)
+        ctx = apply_linear(params["output_linear"], ctx)
+        return ctx, w.mean(axis=2)
+    else:
+        raise ValueError(kind)
+
+    if encoder_mask is not None:
+        scores = jnp.where(encoder_mask[:, None, :] > 0, scores, _MASK_FILL)
+    weights = jax.nn.softmax(scores, axis=-1)  # (B, K, S)
+    context = jnp.einsum("bks,bse->bke", weights, encoder_outputs)
+    return context, weights

@@ -258,3 +258,49 @@ def apply_decoder(
     if config.model.use_attention:
         result["attention_weights"] = weights_seq
     return result
+
+
+def decoder_step_beam(
+    params: dict,
+    config: Config,
+    input_tokens: Array,       # (B, K) token ids
+    state: State,              # (L, B·K, H)
+    encoder_outputs: Array,    # (B, S, E) — UN-expanded
+    attn_cache: Dict[str, Array],
+    encoder_mask: Optional[Array],  # (B, S)
+) -> Tuple[Array, State, Optional[Array]]:
+    """Beam decode step with shared (per-video) attention caches.
+
+    Mathematically identical to ``decoder_step`` on beam-expanded inputs,
+    but encoder-side tensors are read once per video instead of once per
+    beam — K× less HBM traffic in the decode loop's attention.
+    Eval-only (generation path).
+    """
+    B, K = input_tokens.shape
+    embedded = apply_embedding(params["embedding"], input_tokens)  # (B, K, emb)
+
+    if config.model.use_attention:
+        top_hidden = state[0][-1].reshape(B, K, -1)
+        context, weights = attn_mod.attend_beam(
+            config, params["attention"], attn_cache, encoder_outputs,
+            top_hidden, encoder_mask,
+        )  # (B, K, E)
+        lstm_in = jnp.concatenate([embedded, context], axis=-1).reshape(B * K, -1)
+    else:
+        context, weights = None, None
+        lstm_in = embedded.reshape(B * K, -1)
+
+    lstm_top, new_state = _lstm_stack_step(
+        params, config, lstm_in, state, train=False, rng=None
+    )
+
+    if config.model.use_attention:
+        deep_in = jnp.concatenate(
+            [lstm_top, context.reshape(B * K, -1), embedded.reshape(B * K, -1)],
+            axis=-1,
+        )
+        pre_vocab = jnp.tanh(apply_linear(params["context_projection"], deep_in))
+    else:
+        pre_vocab = lstm_top
+    logits = apply_linear(params["output_projection"], pre_vocab)  # (B·K, V)
+    return logits, new_state, weights
