@@ -30,8 +30,8 @@ import json
 import time
 from pathlib import Path
 
-BATCH = 64
-ITERS = 8  # batches per timed device call
+BATCH = 256
+ITERS = 4  # batches per timed device call
 BEAM = 5
 MAX_LEN = 20
 RUNS = 3
