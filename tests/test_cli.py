@@ -178,3 +178,36 @@ def test_evaluate_cli(tmp_path, capsys):
     ])
     scores = json.loads(out.read_text())
     assert "bleu_4" in scores and "cider" in scores
+
+
+@pytest.mark.slow
+def test_predict_batch_features_dir(dataset_csv, tiny_config_file, tmp_path, capsys):
+    """batch --features-dir: device-batched captioning of .npy files."""
+    from video_captioning_tpu.cli import predict as predict_cli
+    from video_captioning_tpu.cli import train as train_cli
+
+    ckpt_dir = tmp_path / "ck2"
+    train_cli.main([
+        "--config", str(tiny_config_file),
+        "--data-file", str(dataset_csv),
+        "--checkpoint-dir", str(ckpt_dir),
+        "--epochs", "1",
+        "--no-tensorboard",
+    ])
+
+    feats_dir = tmp_path  # dataset fixture wrote clip*.npy here
+    out_json = tmp_path / "batchpred.json"
+    caps_txt = tmp_path / "caps.txt"
+    predict_cli.main([
+        "--model-path", str(ckpt_dir / "model_for_inference.pth"),
+        "--method", "greedy", "--max-length", "8",
+        "batch",
+        "--features-dir", str(feats_dir),
+        "--batch-size", "4",
+        "--output", str(out_json),
+        "--captions-file", str(caps_txt),
+    ])
+    payload = json.loads(out_json.read_text())
+    assert len(payload["results"]) == 12
+    assert all("caption" in r and "video_path" in r for r in payload["results"])
+    assert len(caps_txt.read_text().strip().split("\n")) == 12

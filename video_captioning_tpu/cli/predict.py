@@ -69,28 +69,51 @@ def predict_batch_videos(args) -> None:
     logger = logging.getLogger(__name__)
     from ..inference.predictor import BatchPredictor, VideoCaptionPredictor
 
-    if args.video_list.endswith(".txt"):
-        with open(args.video_list, "r") as f:
-            video_paths = [Path(line.strip()) for line in f if line.strip()]
-    else:
-        video_dir = Path(args.video_list)
-        video_paths = []
-        for ext in [".mp4", ".avi", ".mov", ".mkv", ".wmv"]:
-            video_paths.extend(video_dir.glob(f"*{ext}"))
-
-    logger.info(f"Found {len(video_paths)} videos to process")
+    if not args.video_list and not args.features_dir:
+        raise SystemExit("batch requires --video-list or --features-dir")
 
     predictor = VideoCaptionPredictor(
         Path(args.model_path), feature_mode=args.feature_mode
     )
-    batch_predictor = BatchPredictor(predictor, batch_size=args.batch_size)
 
-    logger.info("Starting batch prediction...")
-    results = batch_predictor.predict_videos(
-        video_paths=video_paths, method=args.method,
-        max_length=args.max_length, beam_size=args.beam_size,
-        length_penalty=args.length_penalty, temperature=args.temperature,
-    )
+    if args.features_dir:
+        # High-throughput path: caption pre-extracted .npy features in
+        # device batches (the serving configuration the benchmarks use).
+        import numpy as np
+
+        feature_paths = sorted(Path(args.features_dir).glob("*.npy"))
+        logger.info(f"Found {len(feature_paths)} feature files")
+        results = []
+        for start in range(0, len(feature_paths), args.batch_size):
+            chunk = feature_paths[start : start + args.batch_size]
+            batch = [np.load(p) for p in chunk]
+            chunk_results = predictor.predict_batch(
+                batch, method=args.method, max_length=args.max_length,
+                beam_size=args.beam_size, length_penalty=args.length_penalty,
+                temperature=args.temperature,
+            )
+            for p, r in zip(chunk, chunk_results):
+                r["video_path"] = str(p)
+            results.extend(chunk_results)
+    else:
+        if args.video_list.endswith(".txt"):
+            with open(args.video_list, "r") as f:
+                video_paths = [Path(line.strip()) for line in f if line.strip()]
+        else:
+            video_dir = Path(args.video_list)
+            video_paths = []
+            for ext in [".mp4", ".avi", ".mov", ".mkv", ".wmv"]:
+                video_paths.extend(video_dir.glob(f"*{ext}"))
+
+        logger.info(f"Found {len(video_paths)} videos to process")
+        batch_predictor = BatchPredictor(predictor, batch_size=args.batch_size)
+
+        logger.info("Starting batch prediction...")
+        results = batch_predictor.predict_videos(
+            video_paths=video_paths, method=args.method,
+            max_length=args.max_length, beam_size=args.beam_size,
+            length_penalty=args.length_penalty, temperature=args.temperature,
+        )
 
     for result in results:
         print(f"\nVideo: {result.get('video_path', 'Unknown')}")
@@ -190,8 +213,10 @@ def build_parser() -> argparse.ArgumentParser:
     single.add_argument("--output", type=str, help="Output JSON file")
 
     batch = subparsers.add_parser("batch", help="Predict captions for multiple videos")
-    batch.add_argument("--video-list", type=str, required=True,
+    batch.add_argument("--video-list", type=str,
                        help="Text file with video paths or directory with videos")
+    batch.add_argument("--features-dir", type=str,
+                       help="Directory of pre-extracted .npy features (device-batched fast path)")
     batch.add_argument("--batch-size", type=int, default=8, help="Batch size for processing")
     batch.add_argument("--output", type=str, help="Output JSON file")
     batch.add_argument("--captions-file", type=str, help="Output text file with captions only")
