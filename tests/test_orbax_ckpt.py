@@ -1,0 +1,171 @@
+"""Orbax checkpoint backend tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+pytest.importorskip("orbax.checkpoint")
+
+from video_captioning_tpu.models import init_model
+from video_captioning_tpu.training import optim
+from video_captioning_tpu.utils.orbax_ckpt import OrbaxCheckpointManager
+
+
+def test_save_restore_roundtrip(tmp_path, tiny_config):
+    params = init_model(jax.random.PRNGKey(0), tiny_config, 13)
+    tx = optim.build_optimizer(tiny_config)
+    opt_state = tx.init(params)
+
+    mgr = OrbaxCheckpointManager(tmp_path / "orbax")
+    mgr.save(3, params, opt_state, metrics={"bleu_4": 0.25},
+             extra={"global_step": 99})
+    mgr.wait()
+
+    template = {
+        "params": params,
+        "opt_state": opt_state,
+        "meta": {"epoch": np.asarray(0, np.int64), "global_step": np.asarray(0.0)},
+        "metrics": {"bleu_4": np.asarray(0.0)},
+    }
+    restored = mgr.restore(template=template)
+    assert int(restored["meta"]["epoch"]) == 3
+    assert float(restored["metrics"]["bleu_4"]) == 0.25
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params),
+        jax.tree_util.tree_leaves(restored["params"]),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # Restored optimizer state is usable.
+    opt2 = restored["opt_state"]
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, jax.tree_util.tree_map(jnp.asarray, opt2), params)
+    assert jax.tree_util.tree_leaves(updates)[0].shape is not None
+    mgr.close()
+
+
+def test_keep_last_n(tmp_path, tiny_config):
+    params = {"w": jnp.ones((2, 2))}
+    mgr = OrbaxCheckpointManager(tmp_path / "orbax", keep_last=3)
+    for epoch in range(6):
+        mgr.save(epoch, params, {})
+    mgr.wait()
+    assert sorted(mgr.all_epochs()) == [3, 4, 5]
+    assert mgr.latest_epoch() == 5
+    mgr.close()
+
+
+def test_restore_missing_raises(tmp_path):
+    mgr = OrbaxCheckpointManager(tmp_path / "empty")
+    with pytest.raises(FileNotFoundError):
+        mgr.restore()
+    mgr.close()
+
+
+@pytest.mark.slow
+def test_trainer_orbax_roundtrip(tmp_path, tiny_config):
+    """Trainer with checkpoint_backend=orbax: save during training, resume
+    into a fresh trainer."""
+    import pandas as pd
+
+    from video_captioning_tpu.data.pipeline import create_data_loaders
+    from video_captioning_tpu.data.vocabulary import Vocabulary
+    from video_captioning_tpu.parallel import make_mesh
+    from video_captioning_tpu.training import VideoCaptioningTrainer
+
+    cfg = tiny_config
+    cfg.data.vocab_threshold = 1
+    cfg.training.batch_size = 4
+    cfg.experiment.checkpoint_dir = tmp_path / "ck"
+    cfg.experiment.checkpoint_backend = "orbax"
+    cfg.experiment.use_tensorboard = False
+    cfg.validate()
+
+    rs = np.random.RandomState(0)
+    captions = ["a man runs", "a dog barks", "a cat sleeps", "a bird flies"]
+    rows = []
+    for i in range(8):
+        p = tmp_path / f"v{i}.npy"
+        np.save(p, rs.randn(10, cfg.model.cnn_feature_dim).astype(np.float32))
+        rows.append({"video_id": f"v{i}", "video_path": "",
+                     "feature_path": str(p), "caption": captions[i % 4]})
+    df = pd.DataFrame(rows)
+    vocab = Vocabulary(cfg)
+    vocab.build_vocabulary(captions)
+    tr, va, _ = create_data_loaders(cfg, vocab, df.iloc[:4], df.iloc[4:])
+
+    mesh = make_mesh(cfg, jax.devices()[:4])
+    params = init_model(jax.random.PRNGKey(0), cfg, len(vocab))
+    trainer = VideoCaptioningTrainer(params, cfg, vocab, tr, va, mesh=mesh)
+    trainer.train_epoch()
+    trainer.global_step = 7
+    trainer.best_val_score = 0.5
+    trainer._save(epoch=2, metrics={"bleu_4": 0.5}, is_best=True)
+    trainer.orbax_manager.wait()
+
+    params2 = init_model(jax.random.PRNGKey(9), cfg, len(vocab))
+    trainer2 = VideoCaptioningTrainer(params2, cfg, vocab, tr, va, mesh=mesh)
+    trainer2.load_orbax_checkpoint()
+    assert trainer2.current_epoch == 2
+    assert trainer2.global_step == 7
+    assert trainer2.best_val_score == 0.5
+    for a, b in zip(
+        jax.tree_util.tree_leaves(trainer.params),
+        jax.tree_util.tree_leaves(trainer2.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_trainer_orbax_opt_state_exact(tmp_path, tiny_config):
+    """Restored optimizer state must match leaf-for-leaf (ordering through
+    the dict/NamedTuple round trip)."""
+    import pandas as pd
+
+    from video_captioning_tpu.data.pipeline import create_data_loaders
+    from video_captioning_tpu.data.vocabulary import Vocabulary
+    from video_captioning_tpu.parallel import make_mesh
+    from video_captioning_tpu.training import VideoCaptioningTrainer
+
+    cfg = tiny_config
+    cfg.data.vocab_threshold = 1
+    cfg.training.batch_size = 4
+    cfg.experiment.checkpoint_dir = tmp_path / "ck"
+    cfg.experiment.checkpoint_backend = "orbax"
+    cfg.experiment.use_tensorboard = False
+    cfg.validate()
+
+    rs = np.random.RandomState(0)
+    captions = ["a man runs", "a dog barks", "a cat sleeps", "a bird flies"]
+    rows = []
+    for i in range(8):
+        p = tmp_path / f"v{i}.npy"
+        np.save(p, rs.randn(10, cfg.model.cnn_feature_dim).astype(np.float32))
+        rows.append({"video_id": f"v{i}", "video_path": "",
+                     "feature_path": str(p), "caption": captions[i % 4]})
+    df = pd.DataFrame(rows)
+    vocab = Vocabulary(cfg)
+    vocab.build_vocabulary(captions)
+    tr, va, _ = create_data_loaders(cfg, vocab, df.iloc[:4], df.iloc[4:])
+
+    mesh = make_mesh(cfg, jax.devices()[:4])
+    params = init_model(jax.random.PRNGKey(0), cfg, len(vocab))
+    trainer = VideoCaptioningTrainer(params, cfg, vocab, tr, va, mesh=mesh)
+    trainer.train_epoch()  # adam moments now non-trivial
+    trainer._save(epoch=1, metrics={}, is_best=False)
+    trainer.orbax_manager.wait()
+
+    want = [np.asarray(x) for x in jax.tree_util.tree_leaves(trainer.opt_state)]
+
+    params2 = init_model(jax.random.PRNGKey(7), cfg, len(vocab))
+    trainer2 = VideoCaptioningTrainer(params2, cfg, vocab, tr, va, mesh=mesh)
+    trainer2.load_orbax_checkpoint()
+    got = [np.asarray(x) for x in jax.tree_util.tree_leaves(trainer2.opt_state)]
+    assert len(want) == len(got)
+    for a, b in zip(want, got):
+        np.testing.assert_array_equal(a, b)
+    # and the typed structure survived (LR scheduling still works)
+    from video_captioning_tpu.training import optim
+    assert optim.get_learning_rate(trainer2.opt_state) > 0

@@ -152,3 +152,20 @@ def test_loader_propagates_worker_errors(corpus, tmp_path):
     loader = DataLoader(ds, batch_size=4, shuffle=False)
     with pytest.raises(Exception):
         list(loader)
+
+
+def test_prefetch_to_device_order_and_completeness(corpus):
+    from video_captioning_tpu.data.pipeline import prefetch_to_device
+
+    df, vocab, cfg = corpus
+    ds = VideoCaptioningDataset(df, vocab, cfg)
+    loader = DataLoader(ds, batch_size=3, shuffle=False)
+    placed = []
+
+    def place(b):
+        placed.append(list(b["video_id"]))
+        return b
+
+    seen = [list(b["video_id"]) for b in prefetch_to_device(iter(loader), place)]
+    assert seen == placed
+    assert [v for b in seen for v in b] == [f"vid{i}" for i in range(8)]

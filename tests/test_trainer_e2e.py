@@ -137,3 +137,18 @@ def test_schedulers_update_lr(synthetic_setup):
     trainer._scheduler_step(0, {})
     lr1 = optim.get_learning_rate(trainer.opt_state)
     assert lr1 < lr0
+
+
+@pytest.mark.slow
+def test_nan_guard_aborts(synthetic_setup):
+    cfg, vocab, params, train_loader, val_loader = synthetic_setup
+    # Poison the params so the first forward produces NaN losses.
+    params["decoder"]["output_projection"]["kernel"] = (
+        params["decoder"]["output_projection"]["kernel"] * np.nan
+    )
+    cfg.training.max_bad_steps = 2
+    trainer = VideoCaptioningTrainer(
+        params, cfg, vocab, train_loader, val_loader, mesh=_mesh4(cfg)
+    )
+    with pytest.raises(RuntimeError, match="Non-finite loss"):
+        trainer.train_epoch()

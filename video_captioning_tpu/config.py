@@ -111,6 +111,10 @@ class TrainingConfig:
     # Freeze the video encoder (reference freeze_encoder,
     # video_captioning_model.py:308-316) — optax multi_transform masking.
     freeze_encoder: bool = False
+    # Failure detection: abort on non-finite loss after this many
+    # consecutive bad steps (0 disables). The reference has no failure
+    # detection at all (SURVEY §5).
+    max_bad_steps: int = 3
 
 
 @dataclass
@@ -163,6 +167,10 @@ class ExperimentConfig:
 
     checkpoint_dir: Path = Path("checkpoints")
     best_model_path: Path = Path("checkpoints/best_model.pth")
+    # "native": reference-compatible single-file checkpoints (pickled numpy,
+    # same names/schema as the reference). "orbax": async sharded
+    # checkpoints for multi-chip production runs (utils/orbax_ckpt.py).
+    checkpoint_backend: str = "native"
 
     output_dir: Path = Path("outputs")
     predictions_file: Path = Path("outputs/predictions.json")

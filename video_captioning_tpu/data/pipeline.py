@@ -240,6 +240,26 @@ class DataLoader:
         thread.join()
 
 
+def prefetch_to_device(iterator, place_fn, lookahead: int = 1):
+    """Overlap host→device transfer with device compute.
+
+    Pulls ``lookahead`` batches ahead and calls ``place_fn`` (device_put)
+    on them before the consumer needs them — JAX transfers are async, so
+    batch N+1 streams to the device while step N runs. Matters most when
+    the host link is slow (this dev environment's tunnel; PCIe on real
+    hosts).
+    """
+    import collections
+
+    queue_: "collections.deque" = collections.deque()
+    for item in iterator:
+        queue_.append(place_fn(item))
+        if len(queue_) > lookahead:
+            yield queue_.popleft()
+    while queue_:
+        yield queue_.popleft()
+
+
 def create_data_loaders(
     config: Config,
     vocabulary: Vocabulary,

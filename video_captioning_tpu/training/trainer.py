@@ -43,6 +43,7 @@ import numpy as np
 import optax
 
 from ..config import Config
+from ..data.pipeline import prefetch_to_device
 from ..data.vocabulary import Vocabulary
 from ..generation import greedy_generate
 from ..models import captioner
@@ -101,6 +102,13 @@ class VideoCaptioningTrainer:
 
         self.metrics = CaptionMetrics(vocabulary)
         self.checkpoint_manager = CheckpointManager(config.experiment.checkpoint_dir)
+        self.orbax_manager = None
+        if config.experiment.checkpoint_backend == "orbax":
+            from ..utils.orbax_ckpt import OrbaxCheckpointManager
+
+            self.orbax_manager = OrbaxCheckpointManager(
+                Path(config.experiment.checkpoint_dir) / "orbax"
+            )
 
         self.tensorboard_writer = None
         if config.experiment.use_tensorboard:
@@ -228,8 +236,13 @@ class VideoCaptioningTrainer:
             jax.profiler.start_trace(str(self.config.experiment.profile_dir))
 
         pending_loss = None
-        for batch_idx, batch in enumerate(self.train_loader):
-            device_batch = self._place(batch)
+        bad_steps = 0
+        max_bad = self.config.training.max_bad_steps
+        # Overlap host→device transfer of batch N+1 with step N.
+        device_batches = prefetch_to_device(
+            iter(self.train_loader), self._place, lookahead=1
+        )
+        for batch_idx, device_batch in enumerate(device_batches):
             self._rng, step_rng = jax.random.split(self._rng)
             self.params, self.opt_state, loss = self._train_step(
                 self.params, self.opt_state, device_batch, step_rng
@@ -244,7 +257,20 @@ class VideoCaptioningTrainer:
             # Lazy host sync: log the *previous* step's loss so the device
             # queue never drains (the reference syncs every step).
             if pending_loss is not None:
-                total_loss += float(pending_loss)
+                loss_val = float(pending_loss)
+                total_loss += loss_val
+                # Failure detection (absent in the reference, SURVEY §5):
+                # abort on persistent non-finite loss instead of silently
+                # training garbage.
+                if not np.isfinite(loss_val):
+                    bad_steps += 1
+                    if max_bad and bad_steps >= max_bad:
+                        raise RuntimeError(
+                            f"Non-finite loss for {bad_steps} consecutive "
+                            f"steps at global step {self.global_step}"
+                        )
+                else:
+                    bad_steps = 0
             pending_loss = loss
 
             if batch_idx % self.config.experiment.log_every_n_steps == 0:
@@ -366,6 +392,8 @@ class VideoCaptioningTrainer:
         with open(results_file, "w") as f:
             json.dump(results, f, indent=2)
 
+        if self.orbax_manager is not None:
+            self.orbax_manager.wait()
         if self.tensorboard_writer:
             self.tensorboard_writer.close()
         if self.use_wandb:
@@ -438,6 +466,16 @@ class VideoCaptioningTrainer:
             )
 
     def _save(self, epoch: int, metrics: Dict[str, float], is_best: bool) -> None:
+        if self.orbax_manager is not None:
+            # Async sharded save; training continues while it lands.
+            self.orbax_manager.save(
+                epoch, self.params, self.opt_state, metrics=metrics,
+                extra={
+                    "global_step": self.global_step,
+                    "best_val_score": self.best_val_score,
+                },
+            )
+            return
         self.checkpoint_manager.save_checkpoint(
             self.params,
             self.opt_state,
@@ -451,6 +489,28 @@ class VideoCaptioningTrainer:
                 "best_val_score": self.best_val_score,
             },
         )
+
+    def load_orbax_checkpoint(self, epoch: Optional[int] = None) -> None:
+        """Resume from the orbax backend (latest epoch by default)."""
+        if self.orbax_manager is None:
+            raise RuntimeError("orbax backend not enabled")
+        restored = self.orbax_manager.restore(epoch)
+        shardings = param_shardings(self.mesh, restored["params"])
+        self.params = jax.tree_util.tree_map(
+            jax.device_put, restored["params"], shardings
+        )
+        # opt_state comes back as a plain dict pytree; rebuild the typed
+        # optax state by initializing and overwriting leaf values.
+        typed = jax.jit(self.tx.init)(self.params)
+        flat_vals = jax.tree_util.tree_leaves(restored["opt_state"])
+        treedef = jax.tree_util.tree_structure(typed)
+        self.opt_state = jax.tree_util.tree_unflatten(
+            treedef, [jax.device_put(v) for v in flat_vals]
+        )
+        self.current_epoch = int(restored["meta"]["epoch"])
+        self.global_step = int(restored["meta"]["global_step"])
+        self.best_val_score = float(restored["meta"]["best_val_score"])
+        self.logger.info(f"Loaded orbax checkpoint from epoch {self.current_epoch}")
 
     def load_checkpoint(self, checkpoint_path: Path) -> Dict[str, Any]:
         """Resume training state (parity: reference trainer.py:449-465)."""
