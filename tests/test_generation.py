@@ -149,3 +149,60 @@ def test_greedy_temperature_changes_nothing_for_argmax_order(tiny_config):
         params, tiny_config, enc_outs, final, START, END, 6, mask, temperature=0.7
     )["generated_tokens"]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sampling_generation(tiny_config):
+    from video_captioning_tpu.generation.sampling import sample_generate
+
+    params, enc_outs, final, mask = _setup(tiny_config, vocab=9, B=3)
+    out = sample_generate(
+        params, tiny_config, enc_outs, final, START, END, 8, mask,
+        temperature=1.0, rng=jax.random.PRNGKey(0),
+    )
+    toks = np.asarray(out["generated_tokens"])
+    assert toks.shape == (3, 8)
+    assert np.asarray(out["logprobs"]).shape == (3,)
+    assert float(np.asarray(out["logprobs"]).max()) <= 0.0
+
+    # Different keys → (almost surely) different samples
+    out2 = sample_generate(
+        params, tiny_config, enc_outs, final, START, END, 8, mask,
+        temperature=1.0, rng=jax.random.PRNGKey(1),
+    )
+    assert not np.array_equal(toks, np.asarray(out2["generated_tokens"]))
+
+    # Same key → identical samples (deterministic)
+    out3 = sample_generate(
+        params, tiny_config, enc_outs, final, START, END, 8, mask,
+        temperature=1.0, rng=jax.random.PRNGKey(0),
+    )
+    np.testing.assert_array_equal(toks, np.asarray(out3["generated_tokens"]))
+
+    # Very low temperature ≈ greedy
+    from video_captioning_tpu.generation.greedy import greedy_generate
+    cold = sample_generate(
+        params, tiny_config, enc_outs, final, START, END, 8, mask,
+        temperature=1e-4, rng=jax.random.PRNGKey(2),
+    )
+    hot_greedy = greedy_generate(
+        params, tiny_config, enc_outs, final, START, END, 8, mask
+    )
+    g = np.asarray(hot_greedy["generated_tokens"])
+    c = np.asarray(cold["generated_tokens"])
+    # compare until each row's END
+    for i in range(3):
+        row_g = g[i]
+        end_pos = np.where(row_g == END)[0]
+        upto = (end_pos[0] + 1) if len(end_pos) else len(row_g)
+        np.testing.assert_array_equal(c[i, :upto], row_g[:upto])
+
+
+def test_sampling_top_k(tiny_config):
+    from video_captioning_tpu.generation.sampling import sample_generate
+
+    params, enc_outs, final, mask = _setup(tiny_config, vocab=9, B=2)
+    out = sample_generate(
+        params, tiny_config, enc_outs, final, START, END, 6, mask,
+        top_k=2, rng=jax.random.PRNGKey(0),
+    )
+    assert np.asarray(out["generated_tokens"]).shape == (2, 6)

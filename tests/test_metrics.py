@@ -130,3 +130,21 @@ def test_file_evaluator(tmp_path):
     r.write_text("\n".join(REFS) + "\n")
     results = evaluate_model_outputs(str(p), str(r))
     assert "bleu_4" in results and "cider" in results and "distinct_1" in results
+
+
+def test_multi_reference_metrics():
+    from video_captioning_tpu.utils.metrics import compute_metrics_multi_reference
+
+    preds = ["a man is running"]
+    refs = [["a person jogs", "a man is running", "someone runs fast"]]
+    got = compute_metrics_multi_reference(preds, refs)
+    # exact match with one of the references → BLEU-1 = 1
+    assert abs(got["bleu_1"] - 1.0) < 1e-9
+    assert got["rouge1"] == 1.0
+    assert got["cider"] > 0.0
+
+    # worse when none match exactly
+    got2 = compute_metrics_multi_reference(
+        ["a cat sits"], [["a person jogs", "a man is running"]]
+    )
+    assert got2["bleu_1"] < got["bleu_1"]

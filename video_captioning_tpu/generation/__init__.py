@@ -6,6 +6,7 @@ from ..config import Config
 from ..models import captioner
 from .beam import beam_search_generate  # noqa: F401
 from .greedy import greedy_generate  # noqa: F401
+from .sampling import sample_generate  # noqa: F401
 
 Array = jax.Array
 
@@ -31,6 +32,11 @@ def generate(
         )
     if method == "beam":
         return beam_search_generate(
+            params, config, enc_outs, final, start_token_id, end_token_id,
+            max_length, mask, **kwargs,
+        )
+    if method == "sample":
+        return sample_generate(
             params, config, enc_outs, final, start_token_id, end_token_id,
             max_length, mask, **kwargs,
         )

@@ -240,3 +240,97 @@ def evaluate_model_outputs(
     results = scorer.compute_metrics(predictions, references)
     results.update(scorer.compute_diversity_metrics(predictions))
     return results
+
+
+def compute_metrics_multi_reference(
+    predictions: List[str],
+    reference_groups: List[List[str]],
+) -> Dict[str, float]:
+    """Multi-reference scoring (MSVD has ~40 captions per clip).
+
+    The reference scorer only supports one reference per prediction
+    (metrics.py zips pred/ref 1:1); this extension passes ALL of a video's
+    references to sentence-BLEU/METEOR (their native multi-reference
+    forms) and takes the best ROUGE f-measure across references.
+    """
+    scorer = CaptionMetrics()
+    out: Dict[str, float] = {}
+    n = len(predictions)
+    if n == 0:
+        return out
+
+    if NLTK_AVAILABLE:
+        sums = {f"bleu_{k}": 0.0 for k in range(1, 5)}
+        meteor_sum, meteor_ok = 0.0, True
+        for pred, refs in zip(predictions, reference_groups):
+            hyp = pred.lower().split()
+            ref_tok = [r.lower().split() for r in refs]
+            for k in range(1, 5):
+                weights = tuple([1.0 / k] * k + [0.0] * (4 - k))
+                try:
+                    sums[f"bleu_{k}"] += sentence_bleu(
+                        ref_tok, hyp, weights=weights,
+                        smoothing_function=scorer._smoothing,
+                    )
+                except Exception:
+                    pass
+            try:
+                meteor_sum += meteor_score(ref_tok, hyp)
+            except Exception:
+                meteor_ok = False
+        out.update({k: v / n for k, v in sums.items()})
+        if meteor_ok:
+            out["meteor"] = meteor_sum / n
+
+    if ROUGE_AVAILABLE:
+        sums = {"rouge1": 0.0, "rouge2": 0.0, "rougeL": 0.0}
+        for pred, refs in zip(predictions, reference_groups):
+            best = {k: 0.0 for k in sums}
+            for ref in refs:
+                scored = scorer._rouge.score(ref, pred)
+                for k in sums:
+                    best[k] = max(best[k], scored[k].fmeasure)
+            for k in sums:
+                sums[k] += best[k]
+        out.update({k: v / n for k, v in sums.items()})
+
+    # CIDEr: the reference's simplified formula with document frequencies
+    # over the FULL corpus (all predictions + all references — pairwise
+    # df over 2 docs would zero every idf), best cosine across a video's
+    # references.
+    all_texts = list(predictions) + [r for refs in reference_groups for r in refs]
+    doc_freq: Dict[str, int] = {}
+    for text in all_texts:
+        toks = text.lower().split()
+        for k in range(1, 5):
+            for g in _ngrams(toks, k):
+                doc_freq[g] = doc_freq.get(g, 0) + 1
+    n_docs = len(all_texts)
+
+    def tf_idf(tokens, k):
+        grams = _ngrams(tokens, k)
+        total = sum(grams.values())
+        return {
+            g: (c / total) * math.log(n_docs / doc_freq.get(g, 1))
+            for g, c in grams.items()
+        } if total else {}
+
+    def cosine(a, b):
+        dot = sum(v * b.get(g, 0.0) for g, v in a.items())
+        na = math.sqrt(sum(v * v for v in a.values()))
+        nb = math.sqrt(sum(v * v for v in b.values()))
+        return dot / (na * nb) if na > 0 and nb > 0 else 0.0
+
+    cider_sum = 0.0
+    for pred, refs in zip(predictions, reference_groups):
+        p_toks = pred.lower().split()
+        best = 0.0
+        for ref in refs:
+            r_toks = ref.lower().split()
+            s = sum(
+                cosine(tf_idf(p_toks, k), tf_idf(r_toks, k)) for k in range(1, 5)
+            ) / 4
+            best = max(best, s)
+        cider_sum += best
+    out["cider"] = cider_sum / n
+    return out
