@@ -152,3 +152,24 @@ def test_nan_guard_aborts(synthetic_setup):
     )
     with pytest.raises(RuntimeError, match="Non-finite loss"):
         trainer.train_epoch()
+
+
+@pytest.mark.slow
+def test_predictor_sampling(synthetic_setup, tmp_path):
+    cfg, vocab, params, train_loader, val_loader = synthetic_setup
+    mgr = CheckpointManager(cfg.experiment.checkpoint_dir)
+    pkg = mgr.save_model_for_inference(params, vocab, cfg)
+    predictor = VideoCaptionPredictor(pkg)
+    feats = np.load(train_loader.dataset.data_df.iloc[0]["feature_path"])
+
+    r = predictor.predict_from_features(feats, method="sample", max_length=8)
+    assert isinstance(r["caption"], str)
+    assert "logprob" in r and r["logprob"] <= 0.0
+
+    multi = predictor.generate_multiple_captions(
+        feats, num_captions=4, method="sample", max_length=8
+    )
+    assert len(multi) == 4
+    assert all(m["score"] <= 0.0 for m in multi)
+    scores = [m["score"] for m in multi]
+    assert scores == sorted(scores, reverse=True)

@@ -199,7 +199,7 @@ def build_parser() -> argparse.ArgumentParser:
                         help="On-the-fly feature extraction mode")
 
     parser.add_argument("--method", type=str, default="greedy",
-                        choices=["greedy", "beam"], help="Generation method")
+                        choices=["greedy", "beam", "sample"], help="Generation method")
     parser.add_argument("--max-length", type=int, default=20, help="Maximum caption length")
     parser.add_argument("--beam-size", type=int, default=5, help="Beam size for beam search")
     parser.add_argument("--length-penalty", type=float, default=1.0, help="Length penalty for beam search")

@@ -119,6 +119,18 @@ class VideoCaptionPredictor:
                     )
 
                 self._gen_cache[key] = jax.jit(beam_fn)
+            elif method == "sample":
+                from ..generation.sampling import sample_generate
+
+                def sample_fn(params, features, rng, temperature, top_k):
+                    enc_outs, final, mask = captioner.encode(params, config, features)
+                    return sample_generate(
+                        params, config, enc_outs, final, start, end,
+                        max_length, mask, temperature=temperature,
+                        top_k=top_k, rng=rng,
+                    )
+
+                self._gen_cache[key] = jax.jit(sample_fn, static_argnums=(3, 4))
             else:
                 raise ValueError(f"Unsupported generation method: {method}")
         return self._gen_cache[key]
@@ -136,6 +148,12 @@ class VideoCaptionPredictor:
         fn = self._gen_fn(method, max_length, beam_size, length_penalty)
         if method == "greedy":
             return fn(self.params, feats, float(temperature))
+        if method == "sample":
+            self._sample_key = jax.random.split(
+                getattr(self, "_sample_key", jax.random.PRNGKey(0))
+            )[0]
+            return fn(self.params, feats, self._sample_key, float(temperature),
+                      int(getattr(self, "sample_top_k", 0)))
         return fn(self.params, feats)
 
     # --------------------------------------------------------- features
@@ -166,6 +184,8 @@ class VideoCaptionPredictor:
         tokens = np.asarray(outputs["generated_tokens"][0]).tolist()
         caption = self.vocabulary.decode_caption(tokens, remove_special_tokens=True)
         result = {"caption": caption, "tokens": tokens, "method": method}
+        if "logprobs" in outputs:
+            result["logprob"] = float(np.asarray(outputs["logprobs"][0]))
         if "attention_weights" in outputs:
             result["attention_weights"] = np.asarray(outputs["attention_weights"][0])
         return result
@@ -288,6 +308,22 @@ class VideoCaptionPredictor:
                         "tokens": tokens,
                     }
                 )
+        elif method == "sample":
+            # True stochastic diversity (the reference's greedy temperature
+            # sweep is temperature-invariant, predictor.py:361-376).
+            for _ in range(num_captions):
+                result = self.predict_from_features(
+                    video_features, method="sample", max_length=max_length,
+                    temperature=temperature,
+                )
+                captions.append(
+                    {
+                        "caption": result["caption"],
+                        "score": result.get("logprob", 0.0),
+                        "tokens": result["tokens"],
+                    }
+                )
+            captions.sort(key=lambda c: -c["score"])
         else:
             for temp in np.linspace(0.7, 1.3, num_captions):
                 result = self.predict_from_features(
