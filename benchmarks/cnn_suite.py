@@ -1,0 +1,115 @@
+"""CNN frame-feature extraction + full pipeline throughput on the chip.
+
+The BASELINE north star is decode→CNN→encoder→beam-5. Video decode is
+host-side (OpenCV) and the dev tunnel (~47 MB/s) makes frame upload the
+bottleneck here, so this suite measures the on-chip portion with resident
+uint8 frames: fused normalize→CNN features, and the full frames→caption
+path (CNN→BiLSTM→beam-5), for both backbones in bf16 and fp32.
+
+Usage: PYTHONPATH=.:$PYTHONPATH python benchmarks/cnn_suite.py
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+
+from video_captioning_tpu.config import Config
+from video_captioning_tpu.generation.beam import beam_search_generate
+from video_captioning_tpu.models import captioner
+from video_captioning_tpu.models.backbones.resnet import apply_resnet50, init_resnet50
+from video_captioning_tpu.models.backbones.vgg import apply_vgg16, init_vgg16
+
+CLIPS = 4          # clips per timed call (80 frames each)
+FRAMES = 80
+ITERS = 2
+RUNS = 3
+
+_MEAN = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
+_STD = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
+
+
+def _cast(tree, dtype):
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, tree
+    )
+
+
+def main():
+    results = {}
+    frames_u8 = jax.random.randint(
+        jax.random.PRNGKey(0), (CLIPS * FRAMES, 224, 224, 3), 0, 256, jnp.uint8
+    )
+
+    for name, init_fn, apply_fn, feat_dim in [
+        ("resnet50", init_resnet50, apply_resnet50, 2048),
+        ("vgg16", init_vgg16, apply_vgg16, 4096),
+    ]:
+        for dtype_name, dtype in [("bfloat16", jnp.bfloat16), ("float32", jnp.float32)]:
+            cnn = _cast(init_fn(jax.random.PRNGKey(1)), dtype)
+
+            @jax.jit
+            def feats_only(cnn, frames):
+                def body(i, acc):
+                    x = (frames.astype(dtype) / 255.0 - _MEAN.astype(dtype)) / _STD.astype(dtype)
+                    f = apply_fn(cnn, x)
+                    return acc + f.sum().astype(jnp.float32)
+                return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0))
+
+            float(feats_only(cnn, frames_u8))
+            ts = []
+            for _ in range(RUNS):
+                t0 = time.perf_counter()
+                float(feats_only(cnn, frames_u8))
+                ts.append(time.perf_counter() - t0)
+            fps = CLIPS * FRAMES * ITERS / min(ts)
+            results[f"cnn_{name}_{dtype_name}"] = {
+                "frames_per_sec": round(fps, 1),
+                "clips_per_sec": round(fps / FRAMES, 2),
+            }
+            print(f"{name:9s} {dtype_name:9s}: {fps:8.0f} frames/s "
+                  f"({fps/FRAMES:7.2f} clips/s)")
+
+    # Full on-chip pipeline: frames → ResNet50 → BiLSTM → beam-5 → tokens.
+    config = Config()
+    config.model.cnn_feature_dim = 2048
+    config.validate()
+    dtype = jnp.bfloat16
+    cnn = _cast(init_resnet50(jax.random.PRNGKey(1)), dtype)
+    params = _cast(captioner.init_model(jax.random.PRNGKey(0), config, 10000), dtype)
+    b = params["decoder"]["output_projection"]["bias"]
+    params["decoder"]["output_projection"]["bias"] = b.at[2].set(-1e9)
+
+    @jax.jit
+    def full(cnn, params, frames):
+        def body(i, acc):
+            x = (frames.astype(dtype) / 255.0 - _MEAN.astype(dtype)) / _STD.astype(dtype)
+            feats = apply_resnet50(cnn, x).reshape(CLIPS, FRAMES, 2048)
+            enc_outs, final, mask = captioner.encode(params, config, feats)
+            toks = beam_search_generate(
+                params, config, enc_outs, final, 1, 2, 20, mask, beam_size=5
+            )["generated_tokens"]
+            return acc + toks.sum()
+        return jax.lax.fori_loop(0, ITERS, body, jnp.int32(0))
+
+    int(full(cnn, params, frames_u8))
+    ts = []
+    for _ in range(RUNS):
+        t0 = time.perf_counter()
+        int(full(cnn, params, frames_u8))
+        ts.append(time.perf_counter() - t0)
+    cps = CLIPS * ITERS / min(ts)
+    results["full_pipeline_resnet50_beam5_bf16"] = {"clips_per_sec": round(cps, 2)}
+    print(f"full frames->resnet50->BiLSTM->beam5 (bf16): {cps:.2f} clips/s")
+
+    out = Path(__file__).parent / "cnn_results.json"
+    out.write_text(json.dumps(results, indent=2))
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
