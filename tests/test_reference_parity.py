@@ -183,3 +183,43 @@ def test_greedy_identical_across_attention_types(ref_setup):
         np.testing.assert_array_equal(
             ours[:, : ref_tokens.shape[1]], ref_tokens, err_msg=f"attention={kind}"
         )
+
+
+def test_beam_search_matches_reference_single_video(ref_setup):
+    """B=1, weight-ported: our fixed-shape beam must pick the same best
+    sequence as the reference's host-side beam search. (At B=1 the
+    reference's cross-batch selection bug is inert, so outputs are
+    comparable; its live-pool semantics match ours: top-K over live
+    expansions, END candidates leave the pool.)"""
+    ref_model, cfg, params, feats = ref_setup
+    from video_captioning_tpu.generation.beam import beam_search_generate
+    from video_captioning_tpu.models import captioner as cap
+
+    for beam_size, penalty, key in [(3, 1.0, 11), (5, 0.8, 12), (4, 1.2, 13)]:
+        rs = np.random.RandomState(key)
+        f1 = rs.randn(1, T_FRAMES, 20).astype(np.float32)
+
+        with torch.no_grad():
+            ref_out = ref_model.generate(
+                video_features=torch.from_numpy(f1),
+                start_token_id=1, end_token_id=2, max_length=8,
+                method="beam", beam_size=beam_size, length_penalty=penalty,
+            )
+        ref_seq = ref_out["generated_tokens"][0].numpy().tolist()
+        # Reference sequences include START and pad completed seqs with
+        # START; trim trailing START padding after the first END.
+        if 2 in ref_seq:
+            ref_seq = ref_seq[: ref_seq.index(2) + 1]
+
+        enc, final, mask = cap.encode(params, cfg, jnp.asarray(f1))
+        ours = beam_search_generate(
+            params, cfg, enc, final, 1, 2, 8, mask,
+            beam_size=beam_size, length_penalty=penalty,
+        )
+        our_seq = np.asarray(ours["generated_tokens"][0]).tolist()
+        if 2 in our_seq:
+            our_seq = our_seq[: our_seq.index(2) + 1]
+
+        assert our_seq == ref_seq, (
+            f"beam={beam_size} penalty={penalty}: {our_seq} != {ref_seq}"
+        )
