@@ -26,13 +26,32 @@ try:
     from nltk.translate.bleu_score import SmoothingFunction, sentence_bleu
     from nltk.translate.meteor_score import meteor_score
 
-    try:  # offline-safe: corpora may already be present; silence the
-        # downloader's stderr chatter in zero-egress environments
-        with contextlib.redirect_stderr(io.StringIO()):
-            nltk.download("wordnet", quiet=True)
-            nltk.download("punkt", quiet=True)
-    except Exception:
-        pass
+    def _ensure_corpus(corpus: str, path: str) -> None:
+        """Download a corpus only if missing AND downloads are enabled.
+        The reference calls nltk.download unconditionally at import
+        (metrics.py:10-11), which spams stderr forever in offline
+        environments; here missing corpora simply leave the dependent
+        metric (METEOR) on its graceful-degradation path."""
+        try:
+            nltk.data.find(path)
+            return
+        except LookupError:
+            pass
+        except Exception:
+            return
+        import os
+
+        if os.environ.get("VCT_NLTK_DOWNLOAD", "0") != "1":
+            return
+        try:
+            with contextlib.redirect_stderr(io.StringIO()), \
+                    contextlib.redirect_stdout(io.StringIO()):
+                nltk.download(corpus, quiet=True, raise_on_error=True)
+        except Exception:
+            pass
+
+    _ensure_corpus("wordnet", "corpora/wordnet")
+    _ensure_corpus("punkt", "tokenizers/punkt")
     NLTK_AVAILABLE = True
 except ImportError:
     NLTK_AVAILABLE = False
