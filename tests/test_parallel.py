@@ -1,0 +1,109 @@
+"""Mesh/sharding correctness: the same training step must produce the same
+numbers regardless of how it is sharded (DP-only vs DP×TP) — XLA inserts
+different collectives but the math cannot change."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from video_captioning_tpu.models import captioner
+from video_captioning_tpu.parallel import (
+    make_mesh,
+    param_shardings,
+    param_specs,
+    shard_batch,
+)
+from video_captioning_tpu.training import losses, optim
+from jax.sharding import PartitionSpec as P
+
+VOCAB = 32  # divisible by model axis
+
+
+def _batch(cfg, B=8):
+    rs = np.random.RandomState(0)
+    return {
+        "video_features": rs.randn(B, 10, cfg.model.cnn_feature_dim).astype(np.float32),
+        "input_tokens": rs.randint(0, VOCAB, (B, 6)).astype(np.int32),
+        "target_tokens": rs.randint(0, VOCAB, (B, 6)).astype(np.int32),
+    }
+
+
+def _one_step(cfg, mesh, params, batch):
+    tx = optim.build_optimizer(cfg)
+    shardings = param_shardings(mesh, params)
+    params = jax.tree_util.tree_map(jax.device_put, params, shardings)
+    opt_state = jax.jit(tx.init)(params)
+
+    def step(params, opt_state, batch):
+        def loss_fn(p):
+            out = captioner.apply_model(
+                p, cfg, batch["video_features"], batch["input_tokens"]
+            )
+            return losses.label_smoothed_cross_entropy(
+                out["logits"], batch["target_tokens"], 0, 0.1
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), loss
+
+    device_batch = shard_batch(mesh, batch)
+    new_params, loss = jax.jit(step)(params, opt_state, device_batch)
+    return (
+        float(loss),
+        [np.asarray(x) for x in jax.tree_util.tree_leaves(new_params)],
+    )
+
+
+def test_tp_matches_dp(tiny_config):
+    cfg = tiny_config
+    cfg.data.max_vocab_size = VOCAB
+    cfg.validate()
+    params = captioner.init_model(jax.random.PRNGKey(0), cfg, VOCAB)
+    batch = _batch(cfg)
+
+    cfg.parallel.model_axis = 1
+    cfg.parallel.data_axis = 4
+    loss_dp, params_dp = _one_step(cfg, make_mesh(cfg), params, batch)
+
+    cfg.parallel.model_axis = 2
+    cfg.parallel.data_axis = 4
+    loss_tp, params_tp = _one_step(cfg, make_mesh(cfg), params, batch)
+
+    assert abs(loss_dp - loss_tp) < 1e-5, (loss_dp, loss_tp)
+    for a, b in zip(params_dp, params_tp):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_single_device_matches_mesh(tiny_config):
+    """1-device mesh == 8-device DP mesh numerically."""
+    cfg = tiny_config
+    cfg.data.max_vocab_size = VOCAB
+    cfg.validate()
+    params = captioner.init_model(jax.random.PRNGKey(0), cfg, VOCAB)
+    batch = _batch(cfg)
+
+    cfg.parallel.model_axis = 1
+    cfg.parallel.data_axis = 1
+    loss_1, params_1 = _one_step(
+        cfg, make_mesh(cfg, jax.devices()[:1]), params, batch
+    )
+    cfg.parallel.data_axis = 8
+    loss_8, params_8 = _one_step(cfg, make_mesh(cfg), params, batch)
+    assert abs(loss_1 - loss_8) < 1e-5
+    for a, b in zip(params_1, params_8):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_param_specs_target_vocab_matrices(tiny_config):
+    params = captioner.init_model(jax.random.PRNGKey(0), tiny_config, VOCAB)
+    specs = param_specs(params)
+    assert specs["decoder"]["embedding"]["table"] == P("model", None)
+    assert specs["decoder"]["output_projection"]["kernel"] == P(None, "model")
+    assert specs["decoder"]["output_projection"]["bias"] == P("model")
+    # everything else replicated
+    assert specs["encoder"]["feature_projection"]["kernel"] == P()
+    assert specs["decoder"]["lstm"][0]["w_ih"] == P()

@@ -173,3 +173,23 @@ def test_predictor_sampling(synthetic_setup, tmp_path):
     assert all(m["score"] <= 0.0 for m in multi)
     scores = [m["score"] for m in multi]
     assert scores == sorted(scores, reverse=True)
+
+
+@pytest.mark.slow
+def test_explain_prediction(synthetic_setup):
+    cfg, vocab, params, train_loader, val_loader = synthetic_setup
+    mgr = CheckpointManager(cfg.experiment.checkpoint_dir)
+    pkg = mgr.save_model_for_inference(params, vocab, cfg)
+    predictor = VideoCaptionPredictor(pkg)
+    feats = np.load(train_loader.dataset.data_df.iloc[0]["feature_path"])
+
+    tokens = vocab.encode_caption("a man is running")
+    out = predictor.explain_prediction(feats, tokens)
+    T = cfg.data.frames_per_video
+    assert out["attention_weights"].shape == (1, len(tokens) - 1, T)
+    # attention rows are probability distributions
+    sums = out["attention_weights"].sum(axis=-1)
+    np.testing.assert_allclose(sums, 1.0, rtol=1e-4)
+    assert out["encoder_outputs"].shape[1] == T
+    assert out["video_length"] == T
+    assert out["caption_length"] == len(tokens)
