@@ -80,12 +80,23 @@ def apply_encoder(
         h0 = jnp.zeros((B, Hdim), x.dtype)
         c0 = jnp.zeros((B, Hdim), x.dtype)
 
-        out_f, (h_f, c_f) = lstm_scan(layer["fwd"], x, h0, c0, mask=video_mask)
-
-        # Backward direction: reverse each valid prefix, scan forward, then
-        # un-reverse the outputs — packed-sequence bidirectional semantics.
+        # Both directions run as ONE vmapped scan: the per-step gate
+        # matmuls become a single batched (2, B, in)x(2, in, 4H) GEMM and
+        # the sequential op count halves vs two separate scans. The
+        # backward direction consumes each valid prefix reversed — the
+        # packed-sequence bidirectional semantics (reference encoder.py:
+        # 74-82) — and its outputs are un-reversed afterwards.
         x_rev = reverse_sequence(x, lengths)
-        out_b_rev, (h_b, c_b) = lstm_scan(layer["bwd"], x_rev, h0, c0, mask=video_mask)
+        stacked_layer = jax.tree_util.tree_map(
+            lambda a, b: jnp.stack([a, b]), layer["fwd"], layer["bwd"]
+        )
+        xs2 = jnp.stack([x, x_rev])  # (2, B, T, in)
+        outs2, (h_last2, c_last2) = jax.vmap(
+            lambda lyr, xs: lstm_scan(lyr, xs, h0, c0, mask=video_mask)
+        )(stacked_layer, xs2)
+        out_f, out_b_rev = outs2[0], outs2[1]
+        h_f, h_b = h_last2[0], h_last2[1]
+        c_f = c_last2[0]
         out_b = reverse_sequence(out_b_rev, lengths)
 
         x = jnp.concatenate([out_f, out_b], axis=-1)  # (B, T, 2H)
