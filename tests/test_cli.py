@@ -211,3 +211,45 @@ def test_predict_batch_features_dir(dataset_csv, tiny_config_file, tmp_path, cap
     assert len(payload["results"]) == 12
     assert all("caption" in r and "video_path" in r for r in payload["results"])
     assert len(caps_txt.read_text().strip().split("\n")) == 12
+
+
+@pytest.mark.slow
+def test_evaluate_dataset_mode(dataset_csv, tiny_config_file, tmp_path, capsys):
+    """evaluate --model-path --data-file: batched generation + scoring,
+    multi-reference grouping by video_id."""
+    import pandas as pd
+
+    from video_captioning_tpu.cli import evaluate as evaluate_cli
+    from video_captioning_tpu.cli import train as train_cli
+
+    ckpt_dir = tmp_path / "ck3"
+    train_cli.main([
+        "--config", str(tiny_config_file),
+        "--data-file", str(dataset_csv),
+        "--checkpoint-dir", str(ckpt_dir),
+        "--epochs", "1",
+        "--no-tensorboard",
+    ])
+
+    # Add a second caption for one video to exercise multi-reference.
+    df = pd.read_csv(dataset_csv)
+    extra = df.iloc[[0]].copy()
+    extra["caption"] = "a man jogs quickly"
+    pd.concat([df, extra]).to_csv(dataset_csv, index=False)
+
+    out = tmp_path / "eval.json"
+    evaluate_cli.main([
+        "--model-path", str(ckpt_dir / "model_for_inference.pth"),
+        "--data-file", str(dataset_csv),
+        "--split", "all",
+        "--method", "greedy",
+        "--max-length", "8",
+        "--batch-size", "4",
+        "--output", str(out),
+    ])
+    results = json.loads(out.read_text())
+    assert results["num_videos"] == 12  # duplicated caption groups by video_id
+    assert "bleu_4" in results["single_reference"]
+    assert "bleu_4" in results["multi_reference"]
+    assert "cider" in results["multi_reference"]
+    assert len(results["samples"]) == 5
