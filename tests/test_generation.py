@@ -206,3 +206,18 @@ def test_sampling_top_k(tiny_config):
         top_k=2, rng=jax.random.PRNGKey(0),
     )
     assert np.asarray(out["generated_tokens"]).shape == (2, 6)
+
+
+def test_generate_dispatch_sample(tiny_config):
+    """generation.generate(method='sample') end-to-end dispatch."""
+    from video_captioning_tpu import generation
+
+    params = init_model(jax.random.PRNGKey(0), tiny_config, 9)
+    feats = jax.random.normal(
+        jax.random.PRNGKey(1), (2, 10, tiny_config.model.cnn_feature_dim)
+    )
+    out = generation.generate(
+        params, tiny_config, feats, START, END, max_length=5, method="sample",
+        rng=jax.random.PRNGKey(3),
+    )
+    assert out["generated_tokens"].shape == (2, 5)

@@ -181,3 +181,12 @@ def test_frozen_encoder_mask():
     # LR scheduling still reaches the inject state through the mask.
     state = optim.set_learning_rate(state, 1e-5)
     assert abs(optim.get_learning_rate(state) - 1e-5) < 1e-9
+
+
+def test_trainer_plateau_scheduler_path():
+    """Trainer plateau wiring: LR halves after patience exhausted."""
+    sch = optim.PlateauScheduler(lr=1e-3, patience=2)
+    lrs = [sch.step(0.5)]          # new best
+    for _ in range(3):
+        lrs.append(sch.step(0.4))  # no improvement x3 > patience 2
+    assert lrs[-1] == 5e-4

@@ -20,3 +20,20 @@ from .config import (  # noqa: F401
     TrainingConfig,
     get_config,
 )
+from .data.vocabulary import Vocabulary, build_vocabulary_from_csv  # noqa: F401
+
+
+def __getattr__(name):  # lazy heavy imports: jax loads only when needed
+    if name == "VideoCaptionPredictor":
+        from .inference.predictor import VideoCaptionPredictor
+
+        return VideoCaptionPredictor
+    if name == "BatchPredictor":
+        from .inference.predictor import BatchPredictor
+
+        return BatchPredictor
+    if name == "VideoCaptioningTrainer":
+        from .training.trainer import VideoCaptioningTrainer
+
+        return VideoCaptioningTrainer
+    raise AttributeError(name)
