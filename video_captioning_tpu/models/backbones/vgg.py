@@ -83,8 +83,32 @@ def _maxpool2(x: Array) -> Array:
     )
 
 
+def _adaptive_avg_pool(x: Array, out_h: int, out_w: int) -> Array:
+    """torch AdaptiveAvgPool2d semantics for NHWC: output bin (i, j)
+    averages rows [floor(i·H/out), ceil((i+1)·H/out)) — variable windows,
+    exact for any input size (identity when H == out_h)."""
+    B, H, W, C = x.shape
+    if H == out_h and W == out_w:
+        return x
+    rows = []
+    for i in range(out_h):
+        h0 = (i * H) // out_h
+        h1 = -((-(i + 1) * H) // out_h)  # ceil
+        cols = []
+        for j in range(out_w):
+            w0 = (j * W) // out_w
+            w1 = -((-(j + 1) * W) // out_w)
+            cols.append(jnp.mean(x[:, h0:h1, w0:w1, :], axis=(1, 2)))
+        rows.append(jnp.stack(cols, axis=1))  # (B, out_w, C)
+    return jnp.stack(rows, axis=1)  # (B, out_h, out_w, C)
+
+
 def apply_vgg16(params: Dict, images: Array) -> Array:
-    """images: (B, 224, 224, 3) normalized float → (B, 4096) ReLU(fc7)."""
+    """images: (B, H, W, 3) normalized float → (B, 4096) ReLU(fc7).
+
+    Any input size works: like torchvision's AdaptiveAvgPool2d((7,7))
+    between the conv stack and the classifier, the feature map is
+    adaptively pooled to 7×7 (identity at the canonical 224×224)."""
     x = images
     ci = 0
     for item in VGG16_PLAN:
@@ -93,8 +117,7 @@ def apply_vgg16(params: Dict, images: Array) -> Array:
         else:
             x = jax.nn.relu(_conv2d(params["convs"][ci], x))
             ci += 1
-    # torchvision applies AdaptiveAvgPool2d((7,7)); at 224 input the conv
-    # output is already 7x7, so it is an identity here.
+    x = _adaptive_avg_pool(x, 7, 7)
     B = x.shape[0]
     # torch flattens NCHW (C, H, W); transpose so imported fc6 weights match.
     x = jnp.transpose(x, (0, 3, 1, 2)).reshape(B, -1)
