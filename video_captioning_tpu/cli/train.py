@@ -36,6 +36,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--compute-dtype", type=str, choices=["float32", "bfloat16"],
                         help="Device compute dtype")
     parser.add_argument("--seed", type=int, help="Random seed override")
+    parser.add_argument("--freeze-encoder", action="store_true",
+                        help="Freeze the video encoder (train decoder only)")
+    parser.add_argument("--checkpoint-backend", type=str,
+                        choices=["native", "orbax"],
+                        help="Checkpoint backend override")
     parser.add_argument("--profile-dir", type=str, help="Write a jax.profiler trace here")
     return parser
 
@@ -71,6 +76,10 @@ def main(argv=None) -> None:
         config.training.seed = args.seed
     if args.profile_dir:
         config.experiment.profile_dir = Path(args.profile_dir)
+    if args.freeze_encoder:
+        config.training.freeze_encoder = True
+    if args.checkpoint_backend:
+        config.experiment.checkpoint_backend = args.checkpoint_backend
 
     config.data.captions_file = Path(args.data_file)
     config.experiment.checkpoint_dir = Path(args.checkpoint_dir)
