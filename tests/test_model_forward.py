@@ -142,3 +142,31 @@ def test_grads_flow_everywhere(tiny_config, params):
 
 def test_count_params(params):
     assert count_params(params) > 0
+
+
+def test_attention_score_bf16_close_to_fp32(tiny_config, params):
+    """Opt-in bf16 score path: same shapes, close numerics, and the config
+    gate defaults off (token parity preserved by default)."""
+    from video_captioning_tpu.models import attention as attn_mod
+
+    feats = _features(tiny_config)
+    enc_outs, final, mask = encode(params, tiny_config, feats)
+    attn = params["decoder"]["attention"]
+    cache = attn_mod.precompute(tiny_config, attn, enc_outs)
+    dec_hidden = jnp.asarray(np.asarray(final))
+
+    assert tiny_config.kernels.attention_score_bf16 is False
+    ctx_ref, w_ref = attn_mod.attend(
+        tiny_config, attn, cache, enc_outs, dec_hidden, mask
+    )
+    tiny_config.kernels.attention_score_bf16 = True
+    ctx, w = attn_mod.attend(tiny_config, attn, cache, enc_outs, dec_hidden, mask)
+    # beam path
+    ctx_b, w_b = attn_mod.attend_beam(
+        tiny_config, attn, cache, enc_outs, dec_hidden[:, None, :], mask
+    )
+    tiny_config.kernels.attention_score_bf16 = False
+
+    np.testing.assert_allclose(np.asarray(ctx), np.asarray(ctx_ref), rtol=5e-2, atol=5e-2)
+    np.testing.assert_allclose(np.asarray(w), np.asarray(w_ref), rtol=5e-2, atol=5e-2)
+    np.testing.assert_allclose(np.asarray(ctx_b[:, 0]), np.asarray(ctx), rtol=1e-5, atol=1e-5)

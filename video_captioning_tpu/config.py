@@ -151,6 +151,11 @@ class KernelConfig:
     use_pallas_attention: bool = False
     use_pallas_lstm: bool = False
     interpret: bool = False  # force interpreter mode (CPU testing)
+    # Compute additive-attention scores (the profiled decode hot spot: 52M
+    # tanh/step at reference scale) in bfloat16 while keeping softmax and
+    # context fp32. Opt-in: slightly perturbs scores, so token-level parity
+    # holds only with it off.
+    attention_score_bf16: bool = False
 
 
 @dataclass

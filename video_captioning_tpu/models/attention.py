@@ -142,7 +142,10 @@ def attend(
                 encoder_mask,
                 interpret=config.kernels.interpret,
             )
-        scores = _bahdanau_scores(params, cache, decoder_hidden)
+        scores = _bahdanau_scores(
+            params, cache, decoder_hidden,
+            score_bf16=config.kernels.attention_score_bf16,
+        )
     elif kind == "luong":
         scores = _luong_scores(config, params, cache, encoder_outputs, decoder_hidden)
     else:
@@ -158,10 +161,28 @@ def attend(
     return context, weights
 
 
-def _bahdanau_scores(params: dict, cache: Dict[str, Array], dec_hidden: Array) -> Array:
+def _bahdanau_scores(
+    params: dict, cache: Dict[str, Array], dec_hidden: Array,
+    score_bf16: bool = False,
+) -> Array:
     dec_proj = apply_linear(params["decoder_projection"], dec_hidden)  # (B, A)
-    combined = jnp.tanh(cache["enc_proj"] + dec_proj[:, None, :])  # (B, S, A)
-    return apply_linear(params["attention_linear"], combined)[..., 0]  # (B, S)
+    enc_proj = cache["enc_proj"]
+    if score_bf16:
+        # VPU runs bf16 elementwise at 2x fp32 rate; the tanh operand is
+        # the profiled decode hot spot (PERFORMANCE.md). Reduction back in
+        # fp32 via preferred_element_type on the score projection.
+        enc_proj = enc_proj.astype(jnp.bfloat16)
+        dec_proj = dec_proj.astype(jnp.bfloat16)
+    combined = jnp.tanh(enc_proj + dec_proj[:, None, :])  # (B, S, A)
+    kernel = params["attention_linear"]["kernel"]
+    if score_bf16:
+        kernel = kernel.astype(jnp.bfloat16)
+    scores = jax.lax.dot_general(
+        combined, kernel,
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )[..., 0]
+    return scores + params["attention_linear"]["bias"]
 
 
 def _luong_scores(
@@ -270,10 +291,20 @@ def attend_beam(
     kind = config.model.attention_type
     if kind == "bahdanau":
         dec_proj = apply_linear(params["decoder_projection"], decoder_hidden)
+        enc_proj = cache["enc_proj"]
+        kernel = params["attention_linear"]["kernel"]
+        if config.kernels.attention_score_bf16:
+            enc_proj = enc_proj.astype(jnp.bfloat16)
+            dec_proj = dec_proj.astype(jnp.bfloat16)
+            kernel = kernel.astype(jnp.bfloat16)
         combined = jnp.tanh(
-            cache["enc_proj"][:, None, :, :] + dec_proj[:, :, None, :]
+            enc_proj[:, None, :, :] + dec_proj[:, :, None, :]
         )  # (B, K, S, A)
-        scores = apply_linear(params["attention_linear"], combined)[..., 0]
+        scores = jax.lax.dot_general(
+            combined, kernel,
+            dimension_numbers=(((3,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )[..., 0] + params["attention_linear"]["bias"]
     elif kind == "luong":
         score = config.model.luong_score
         if score == "dot":
