@@ -167,22 +167,22 @@ def _bahdanau_scores(
 ) -> Array:
     dec_proj = apply_linear(params["decoder_projection"], dec_hidden)  # (B, A)
     enc_proj = cache["enc_proj"]
-    if score_bf16:
-        # VPU runs bf16 elementwise at 2x fp32 rate; the tanh operand is
-        # the profiled decode hot spot (PERFORMANCE.md). Reduction back in
-        # fp32 via preferred_element_type on the score projection.
-        enc_proj = enc_proj.astype(jnp.bfloat16)
-        dec_proj = dec_proj.astype(jnp.bfloat16)
-    combined = jnp.tanh(enc_proj + dec_proj[:, None, :])  # (B, S, A)
-    kernel = params["attention_linear"]["kernel"]
-    if score_bf16:
-        kernel = kernel.astype(jnp.bfloat16)
+    out_dtype = enc_proj.dtype
+    if not score_bf16:
+        combined = jnp.tanh(enc_proj + dec_proj[:, None, :])  # (B, S, A)
+        return apply_linear(params["attention_linear"], combined)[..., 0]
+    # VPU runs bf16 elementwise at 2x fp32 rate; the tanh operand is the
+    # profiled decode hot spot (PERFORMANCE.md). Accumulate the score
+    # reduction in fp32, return in the model's compute dtype.
+    combined = jnp.tanh(
+        enc_proj.astype(jnp.bfloat16) + dec_proj.astype(jnp.bfloat16)[:, None, :]
+    )
     scores = jax.lax.dot_general(
-        combined, kernel,
+        combined, params["attention_linear"]["kernel"].astype(jnp.bfloat16),
         dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )[..., 0]
-    return scores + params["attention_linear"]["bias"]
+    return (scores + params["attention_linear"]["bias"]).astype(out_dtype)
 
 
 def _luong_scores(
@@ -292,19 +292,25 @@ def attend_beam(
     if kind == "bahdanau":
         dec_proj = apply_linear(params["decoder_projection"], decoder_hidden)
         enc_proj = cache["enc_proj"]
-        kernel = params["attention_linear"]["kernel"]
-        if config.kernels.attention_score_bf16:
-            enc_proj = enc_proj.astype(jnp.bfloat16)
-            dec_proj = dec_proj.astype(jnp.bfloat16)
-            kernel = kernel.astype(jnp.bfloat16)
-        combined = jnp.tanh(
-            enc_proj[:, None, :, :] + dec_proj[:, :, None, :]
-        )  # (B, K, S, A)
-        scores = jax.lax.dot_general(
-            combined, kernel,
-            dimension_numbers=(((3,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )[..., 0] + params["attention_linear"]["bias"]
+        if not config.kernels.attention_score_bf16:
+            combined = jnp.tanh(
+                enc_proj[:, None, :, :] + dec_proj[:, :, None, :]
+            )  # (B, K, S, A)
+            scores = apply_linear(params["attention_linear"], combined)[..., 0]
+        else:
+            combined = jnp.tanh(
+                enc_proj.astype(jnp.bfloat16)[:, None, :, :]
+                + dec_proj.astype(jnp.bfloat16)[:, :, None, :]
+            )
+            scores = (
+                jax.lax.dot_general(
+                    combined,
+                    params["attention_linear"]["kernel"].astype(jnp.bfloat16),
+                    dimension_numbers=(((3,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )[..., 0]
+                + params["attention_linear"]["bias"]
+            ).astype(enc_proj.dtype)
     elif kind == "luong":
         score = config.model.luong_score
         if score == "dot":
