@@ -107,3 +107,40 @@ def test_param_specs_target_vocab_matrices(tiny_config):
     # everything else replicated
     assert specs["encoder"]["feature_projection"]["kernel"] == P()
     assert specs["decoder"]["lstm"][0]["w_ih"] == P()
+
+
+def test_context_parallel_attention_matches_unsharded(tiny_config):
+    """Frame-axis-sharded attention (shard_map + online-softmax combine)
+    must equal the unsharded attend() exactly — the CP design SURVEY §5
+    asks for, executed on an 8-way mesh."""
+    from video_captioning_tpu.models import attention as attn_mod
+    from video_captioning_tpu.models import init_model
+    from video_captioning_tpu.parallel.context_parallel import (
+        attend_context_parallel,
+        shard_frames,
+    )
+
+    cfg = tiny_config
+    cfg.parallel.data_axis = 1
+    cfg.parallel.model_axis = 8
+    mesh = make_mesh(cfg)
+
+    params = init_model(jax.random.PRNGKey(0), cfg, 17)["decoder"]["attention"]
+    B, S, E = 4, 80, cfg.model.encoder_hidden_dim  # S divisible by 8
+    enc_outs = jax.random.normal(jax.random.PRNGKey(1), (B, S, E))
+    dec_hidden = jax.random.normal(jax.random.PRNGKey(2), (B, E))
+    mask = jnp.concatenate(
+        [jnp.ones((B, 70)), jnp.zeros((B, 10))], axis=1
+    )  # ragged tail masked
+
+    cache = attn_mod.precompute(cfg, params, enc_outs)
+    ctx_ref, w_ref = attn_mod.attend(cfg, params, cache, enc_outs, dec_hidden, mask)
+
+    enc_sharded = shard_frames(mesh, enc_outs)
+    mask_sharded = shard_frames(mesh, mask)
+    ctx, w = attend_context_parallel(
+        cfg, params, enc_sharded, dec_hidden, mask_sharded, mesh
+    )
+
+    np.testing.assert_allclose(np.asarray(ctx), np.asarray(ctx_ref), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(w), np.asarray(w_ref), rtol=1e-5, atol=1e-6)
