@@ -110,6 +110,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--length-penalty", type=float, default=1.0)
     parser.add_argument("--batch-size", type=int, default=64)
 
+    parser.add_argument("--device", type=str, help="Platform override (tpu/cpu)")
     parser.add_argument("--output", type=str, help="Output JSON file")
     parser.add_argument("--log-level", type=str, default="INFO")
     return parser
@@ -118,6 +119,11 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
     setup_logging(args.log_level)
+
+    if args.device:
+        import jax
+
+        jax.config.update("jax_platforms", args.device)
 
     if args.predictions and args.references:
         results = evaluate_files(args)
