@@ -71,3 +71,178 @@ def test_feature_extractor_wrapper(tmp_path):
     feats = fx.extract(frames)
     assert feats.shape == (6, 2048)
     assert feats.dtype == np.float32
+
+
+# ---------------------------------------------------------------------------
+# Full-stack torch-oracle parity (VERDICT round-1 item 5, ADVICE resnet
+# padding finding). torchvision is not installed, so the oracles below
+# reconstruct its exact architectures with plain torch modules and state-dict
+# names; load_torch_* then imports those weights into our JAX pytrees, and
+# the end-to-end outputs must agree.
+# ---------------------------------------------------------------------------
+
+
+def _torch_vgg16(torch):
+    """torchvision.models.vgg16 architecture with matching state-dict names
+    (reference usage: /root/reference/src/preprocess.py:69-71)."""
+    nn = torch.nn
+    layers, cin = [], 3
+    from video_captioning_tpu.models.backbones.vgg import VGG16_PLAN
+
+    for item in VGG16_PLAN:
+        if item == "M":
+            layers.append(nn.MaxPool2d(2, 2))
+        else:
+            layers.append(nn.Conv2d(cin, item, 3, padding=1))
+            layers.append(nn.ReLU(inplace=True))
+            cin = item
+    model = nn.Sequential()
+    model.add_module("features", nn.Sequential(*layers))
+    model.add_module("avgpool", nn.AdaptiveAvgPool2d((7, 7)))
+    model.add_module(
+        "classifier",
+        nn.Sequential(
+            nn.Linear(512 * 7 * 7, 4096), nn.ReLU(True), nn.Dropout(),
+            nn.Linear(4096, 4096), nn.ReLU(True), nn.Dropout(),
+            nn.Linear(4096, 1000),
+        ),
+    )
+    return model
+
+
+def _torch_resnet50(torch):
+    """torchvision.models.resnet50 architecture with matching state-dict
+    names (reference usage: /root/reference/src/preprocess.py:72-74)."""
+    nn = torch.nn
+
+    class Bottleneck(nn.Module):
+        expansion = 4
+
+        def __init__(self, cin, width, stride=1, downsample=None):
+            super().__init__()
+            self.conv1 = nn.Conv2d(cin, width, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(width)
+            self.conv2 = nn.Conv2d(width, width, 3, stride, padding=1, bias=False)
+            self.bn2 = nn.BatchNorm2d(width)
+            self.conv3 = nn.Conv2d(width, width * 4, 1, bias=False)
+            self.bn3 = nn.BatchNorm2d(width * 4)
+            self.relu = nn.ReLU(inplace=True)
+            self.downsample = downsample
+
+        def forward(self, x):
+            idt = x
+            y = self.relu(self.bn1(self.conv1(x)))
+            y = self.relu(self.bn2(self.conv2(y)))
+            y = self.bn3(self.conv3(y))
+            if self.downsample is not None:
+                idt = self.downsample(x)
+            return self.relu(y + idt)
+
+    class ResNet50(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = nn.Conv2d(3, 64, 7, 2, padding=3, bias=False)
+            self.bn1 = nn.BatchNorm2d(64)
+            self.relu = nn.ReLU(inplace=True)
+            self.maxpool = nn.MaxPool2d(3, 2, padding=1)
+            cin = 64
+            for li, (n, width) in enumerate(zip([3, 4, 6, 3], [64, 128, 256, 512]), 1):
+                blocks = []
+                for b in range(n):
+                    stride = 2 if (li > 1 and b == 0) else 1
+                    down = None
+                    if b == 0:
+                        down = nn.Sequential(
+                            nn.Conv2d(cin, width * 4, 1, stride, bias=False),
+                            nn.BatchNorm2d(width * 4),
+                        )
+                    blocks.append(Bottleneck(cin, width, stride, down))
+                    cin = width * 4
+                setattr(self, f"layer{li}", nn.Sequential(*blocks))
+            self.avgpool = nn.AdaptiveAvgPool2d((1, 1))
+
+        def forward(self, x):
+            x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+            for li in range(1, 5):
+                x = getattr(self, f"layer{li}")(x)
+            return torch.flatten(self.avgpool(x), 1)
+
+    return ResNet50()
+
+
+@pytest.mark.slow
+def test_vgg16_full_stack_matches_torch_oracle():
+    """End-to-end fc7 features match a torch oracle through imported weights."""
+    torch = pytest.importorskip("torch")
+    from video_captioning_tpu.models.backbones.vgg import load_torch_vgg16
+
+    torch.manual_seed(0)
+    model = _torch_vgg16(torch).eval()
+    params = load_torch_vgg16({k: v.numpy() for k, v in model.state_dict().items()})
+
+    rs = np.random.RandomState(1)
+    for size in (224, 96):
+        x = rs.randn(2, size, size, 3).astype(np.float32)
+        ours = np.asarray(apply_vgg16(params, jnp.asarray(x)))
+        with torch.no_grad():
+            feats = model.features(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+            pooled = model.avgpool(feats)
+            theirs = model.classifier[:5](torch.flatten(pooled, 1)).numpy()
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-4, err_msg=str(size))
+
+
+def test_resnet50_full_stack_matches_torch_oracle():
+    """End-to-end pooled features match a torch oracle through imported
+    weights — covers the stride-2 bottleneck padding (ADVICE round-1:
+    SAME pads (0,1) where torch pads (1,1))."""
+    torch = pytest.importorskip("torch")
+    from video_captioning_tpu.models.backbones.resnet import load_torch_resnet50
+
+    torch.manual_seed(0)
+    model = _torch_resnet50(torch).eval()
+    # Randomize BN running stats so a mapping error can't hide behind
+    # identity-like defaults.
+    with torch.no_grad():
+        for m in model.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.05)
+                m.running_var.uniform_(0.5, 1.5)
+    params = load_torch_resnet50({k: v.numpy() for k, v in model.state_dict().items()})
+
+    rs = np.random.RandomState(2)
+    x = rs.randn(2, 64, 64, 3).astype(np.float32)
+    ours = np.asarray(apply_resnet50(params, jnp.asarray(x)))
+    with torch.no_grad():
+        theirs = model(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-4)
+
+
+def test_resnet50_stride2_block_matches_torch():
+    """Isolated stride-2 bottleneck parity (the exact ADVICE failure mode)."""
+    torch = pytest.importorskip("torch")
+    from video_captioning_tpu.models.backbones.resnet import (
+        _bottleneck,
+        load_torch_resnet50,
+    )
+
+    torch.manual_seed(3)
+    model = _torch_resnet50(torch).eval()
+    with torch.no_grad():
+        for m in model.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.05)
+                m.running_var.uniform_(0.5, 1.5)
+    params = load_torch_resnet50({k: v.numpy() for k, v in model.state_dict().items()})
+
+    # First block of stage 2 (layer2.0): stride-2 3x3 conv2 + downsample.
+    block = params["stages"][1][0]
+    rs = np.random.RandomState(4)
+    x = rs.randn(1, 16, 16, 256).astype(np.float32)
+    ours = np.asarray(_bottleneck(block, jnp.asarray(x), stride=2))
+    with torch.no_grad():
+        theirs = (
+            model.layer2[0](torch.from_numpy(x.transpose(0, 3, 1, 2)))
+            .numpy()
+            .transpose(0, 2, 3, 1)
+        )
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)

@@ -75,9 +75,15 @@ def init_resnet50(key: Array) -> Dict:
     return params
 
 
-def _conv(p: dict, x: Array, stride: int = 1, padding="SAME") -> Array:
+def _conv(p: dict, x: Array, stride: int = 1) -> Array:
+    # Explicit symmetric padding matching torch Conv2d(padding=k//2):
+    # "SAME" is only equivalent at stride 1 — at stride 2 it pads (0, 1)
+    # where torch pads (1, 1), which desyncs every stride-2 3x3 conv.
+    k = p["kernel"].shape[0]
+    pad = (k - 1) // 2
     return jax.lax.conv_general_dilated(
-        x, p["kernel"], window_strides=(stride, stride), padding=padding,
+        x, p["kernel"], window_strides=(stride, stride),
+        padding=[(pad, pad), (pad, pad)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
 
