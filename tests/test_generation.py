@@ -221,3 +221,50 @@ def test_generate_dispatch_sample(tiny_config):
         rng=jax.random.PRNGKey(3),
     )
     assert out["generated_tokens"].shape == (2, 5)
+
+
+def test_beam_fallback_scores_length_penalized():
+    """When fewer than K hypotheses complete, the live-beam fallbacks in
+    all_scores must be length-penalized onto the same per-token scale as
+    completed hypotheses (ADVICE round 1: an unfinished live beam's raw
+    cumulative log-prob, ~K time steps more negative, previously mixed
+    scales so top-N ordering was incomparable)."""
+    import jax
+
+    from video_captioning_tpu import generation
+    from video_captioning_tpu.config import Config
+    from video_captioning_tpu.models import init_model
+
+    cfg = Config()
+    cfg.model.cnn_feature_dim = 24
+    cfg.model.encoder_hidden_dim = 16
+    cfg.model.decoder_hidden_dim = 16
+    cfg.model.embedding_dim = 12
+    cfg.model.attention_dim = 16
+    cfg.model.attention_num_heads = 4
+    cfg.model.max_sequence_length = 20
+    cfg.model.video_sequence_length = 10
+    cfg.data.frames_per_video = 10
+    cfg.validate()
+
+    # Seed 5 yields batch items where exactly 1 of 5 beams completes within
+    # 20 steps — the remaining 4 slots are live-beam fallbacks.
+    params = init_model(jax.random.PRNGKey(5), cfg, 30)
+    feats = np.random.RandomState(0).randn(4, 10, 24).astype(np.float32)
+    out = generation.generate(
+        params, cfg, feats, START, END, method="beam", max_length=20, beam_size=5
+    )
+    toks = np.asarray(out["all_tokens"])
+    scores = np.asarray(out["all_scores"])
+    has_end = (toks == END).any(axis=2)  # (B, K): completed vs fallback
+    n_completed = has_end.sum(axis=1)
+    assert (n_completed > 0).any() and (n_completed < 5).any(), n_completed
+
+    finite = scores > -1e8
+    # Per-token scale: a raw 20-step cumulative sum over vocab 30 would be
+    # ~20x log(1/30) ~ -65; penalized scores stay near one-token magnitude.
+    assert (scores[finite] > -15.0).all(), scores
+    # Fallback (no-END) slots specifically must be penalized.
+    fallback_scores = scores[finite & ~has_end[: scores.shape[0]]]
+    assert fallback_scores.size > 0
+    assert (fallback_scores > -15.0).all(), fallback_scores

@@ -160,7 +160,7 @@ def beam_search_generate(
         return (t + 1, new_sequences, new_scores, new_state, fin_seqs_new, fin_scores_new)
 
     carry = (jnp.int32(0), sequences0, scores0, state0, fin_seqs0, fin_scores0)
-    _, sequences, scores, _, fin_seqs, fin_scores = jax.lax.while_loop(
+    t_final, sequences, scores, _, fin_seqs, fin_scores = jax.lax.while_loop(
         cond, body, carry
     )
 
@@ -175,10 +175,20 @@ def beam_search_generate(
     best_seq = jnp.where(has_completed[:, None], fin_seqs[:, 0], best_live_seq)
 
     # Fill empty register slots with live beams so all_tokens is always
-    # meaningful for top-N caption requests.
+    # meaningful for top-N caption requests. Live fallbacks get the same
+    # (gen_len)^alpha normalization as completed hypotheses so callers can
+    # rank all_scores on one scale (a live beam at exit holds t_final
+    # generated tokens; completed ones were penalized by their length
+    # including END).
+    live_len = jnp.maximum(t_final, 1).astype(jnp.float32)
+    live_penalized = jnp.where(
+        scores > NEG_INF / 2,
+        scores / jnp.power(live_len, length_penalty),
+        NEG_INF,
+    )
     live_fill = fin_scores <= NEG_INF / 2
     all_tokens = jnp.where(live_fill[:, :, None], sequences, fin_seqs)
-    all_scores = jnp.where(live_fill, scores, fin_scores)
+    all_scores = jnp.where(live_fill, live_penalized, fin_scores)
 
     return {
         "generated_tokens": best_seq,
