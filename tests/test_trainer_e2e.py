@@ -193,3 +193,93 @@ def test_explain_prediction(synthetic_setup):
     assert out["encoder_outputs"].shape[1] == T
     assert out["video_length"] == T
     assert out["caption_length"] == len(tokens)
+
+
+def test_history_recorded_every_epoch_and_on_early_stop(synthetic_setup):
+    """train_history grows every epoch (not just validation epochs) and the
+    early-stopping epoch itself is recorded (round-1 ADVICE: history was
+    appended inside the val branch, after the break)."""
+    cfg, vocab, params, train_loader, val_loader = synthetic_setup
+    cfg.training.num_epochs = 4
+    cfg.training.val_every_n_epochs = 2
+    cfg.training.early_stopping_patience = 100
+
+    trainer = VideoCaptioningTrainer(
+        params, cfg, vocab, train_loader, val_loader, mesh=_mesh4(cfg)
+    )
+    results = trainer.train()
+    # 4 epochs -> 4 train entries; validation on epochs 0 and 2 -> 2 entries.
+    assert [h["epoch"] for h in results["train_history"]] == [0, 1, 2, 3]
+    assert [h["epoch"] for h in results["val_history"]] == [0, 2]
+    assert all("loss" in h for h in results["train_history"])
+
+    # Early stop: patience 0 stops at the 2nd validation epoch without
+    # losing that epoch's history entries.
+    trainer2 = VideoCaptioningTrainer(
+        init_model(jax.random.PRNGKey(1), cfg, len(vocab)), cfg, vocab,
+        train_loader, val_loader, mesh=_mesh4(cfg)
+    )
+    trainer2.config.training.val_every_n_epochs = 1
+    trainer2.config.training.early_stopping_patience = 1
+    trainer2.best_val_score = float("inf")  # nothing ever improves
+    results2 = trainer2.train()
+    stop_epoch = results2["total_epochs"] - 1
+    assert results2["train_history"][-1]["epoch"] == stop_epoch
+    assert results2["val_history"][-1]["epoch"] == stop_epoch
+
+
+def test_periodic_saves_carry_fresh_metrics(synthetic_setup):
+    """Periodic checkpoints never store {} and tag validation metrics with
+    the epoch they came from when val_every_n_epochs > 1."""
+    cfg, vocab, params, train_loader, val_loader = synthetic_setup
+    cfg.training.num_epochs = 4
+    cfg.training.val_every_n_epochs = 3  # val on epochs 0, 3
+    cfg.training.save_every_n_epochs = 1
+
+    trainer = VideoCaptioningTrainer(
+        params, cfg, vocab, train_loader, val_loader, mesh=_mesh4(cfg)
+    )
+    trainer.train()
+
+    from pathlib import Path
+
+    mgr = trainer.checkpoint_manager
+    for epoch in range(4):
+        ckpt = mgr.load_checkpoint(
+            Path(cfg.experiment.checkpoint_dir) / f"checkpoint_epoch_{epoch:04d}.pth"
+        )
+        metrics = ckpt["metrics"]
+        assert metrics, f"epoch {epoch} saved empty metrics"
+        assert "train_loss" in metrics, (epoch, metrics)
+        assert metrics["val_epoch"] == (0 if epoch < 3 else 3), (epoch, metrics)
+
+
+def test_tensorboard_writer_is_torch_free(synthetic_setup, tmp_path):
+    """TB scalars flow through a torch-free writer, and the raw fallback
+    emits event files TensorBoard itself can parse."""
+    import sys
+
+    from video_captioning_tpu.training.trainer import _maybe_tensorboard
+    from video_captioning_tpu.utils.tb_writer import RawEventWriter
+
+    writer = _maybe_tensorboard(tmp_path / "tb")
+    assert writer is not None
+    mod = type(writer).__module__
+    assert not mod.startswith("torch"), mod
+    writer.add_scalar("Train/BatchLoss", 1.25, 1)
+    writer.close()
+
+    raw = RawEventWriter(str(tmp_path / "raw"))
+    raw.add_scalar("Val/bleu_4", 0.5, 7)
+    raw.add_scalar("Val/loss", 2.0, 7)
+    raw.close()
+
+    tb = pytest.importorskip("tensorboard.backend.event_processing.event_file_loader")
+    events = list(tb.LegacyEventFileLoader(str(raw.path)).Load())
+    assert events[0].file_version == "brain.Event:2"
+    scalars = {
+        e.summary.value[0].tag: (e.step, e.summary.value[0].simple_value)
+        for e in events[1:]
+    }
+    assert scalars["Val/bleu_4"] == (7, 0.5)
+    assert scalars["Val/loss"] == (7, 2.0)

@@ -55,10 +55,13 @@ from .losses import label_smoothed_cross_entropy
 
 
 def _maybe_tensorboard(log_dir: Path):
+    # Torch-free (CLAUDE.md invariant): tensorboardX when installed, else a
+    # dependency-free raw event-file writer — TB logging never silently
+    # vanishes on torch-free installs.
     try:
-        from torch.utils.tensorboard import SummaryWriter
+        from ..utils.tb_writer import create_summary_writer
 
-        return SummaryWriter(log_dir=str(log_dir))
+        return create_summary_writer(log_dir)
     except Exception:
         return None
 
@@ -342,12 +345,20 @@ class VideoCaptioningTrainer:
         val_metrics: Dict[str, float] = {}
         start_epoch = self.current_epoch
 
+        last_val_epoch = -1
         for epoch in range(start_epoch, self.config.training.num_epochs):
             self.current_epoch = epoch
             train_metrics = self.train_epoch()
+            # Every epoch is recorded, including non-validation and
+            # early-stop epochs (finishes fixing reference trainer.py:405-406
+            # where history only grew on the validation path).
+            self.train_history.append({"epoch": epoch, **train_metrics})
 
+            stop = False
             if epoch % self.config.training.val_every_n_epochs == 0:
                 val_metrics = self.validate_epoch()
+                last_val_epoch = epoch
+                self.val_history.append({"epoch": epoch, **val_metrics})
                 self.logger.info(
                     f"Epoch {epoch}: Train Loss: {train_metrics['loss']:.4f}, "
                     f"Val Loss: {val_metrics['loss']:.4f}, "
@@ -368,15 +379,22 @@ class VideoCaptioningTrainer:
 
                 if self.patience_counter >= self.config.training.early_stopping_patience:
                     self.logger.info(f"Early stopping at epoch {epoch}")
-                    break
+                    stop = True
 
-                self.train_history.append(train_metrics)
-                self.val_history.append(val_metrics)
+            if stop:
+                break
 
             self._scheduler_step(epoch, val_metrics)
 
             if epoch % self.config.training.save_every_n_epochs == 0:
-                self._save(epoch, val_metrics, is_best=False)
+                # Periodic saves carry this epoch's train loss; validation
+                # metrics are included only with the epoch they came from
+                # (previously {} or silently stale when val_every_n > 1).
+                save_metrics = {"train_loss": train_metrics["loss"]}
+                if last_val_epoch >= 0:
+                    save_metrics.update(val_metrics)
+                    save_metrics["val_epoch"] = last_val_epoch
+                self._save(epoch, save_metrics, is_best=False)
 
         total_time = time.time() - start_time
         self.logger.info(f"Training completed in {total_time:.2f} seconds")
