@@ -24,7 +24,13 @@ try:
 
     import nltk
     from nltk.translate.bleu_score import SmoothingFunction, sentence_bleu
-    from nltk.translate.meteor_score import meteor_score
+
+    # METEOR: our offline-capable implementation (utils/meteor.py) —
+    # numerically identical to nltk.translate.meteor_score when the wordnet
+    # corpus is present, and still reported (exact+stem alignment) when it
+    # is not, where the reference's METEOR silently disappears
+    # (reference metrics.py:147-162).
+    from .meteor import meteor_score
 
     def _ensure_corpus(corpus: str, path: str) -> None:
         """Download a corpus only if missing AND downloads are enabled.
