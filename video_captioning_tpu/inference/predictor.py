@@ -135,6 +135,17 @@ class VideoCaptionPredictor:
                 raise ValueError(f"Unsupported generation method: {method}")
         return self._gen_cache[key]
 
+    @staticmethod
+    def _bucket_size(n: int) -> int:
+        """Next power of two ≥ n: serving batches are padded up to a bucket
+        so ragged batch sizes (e.g. an evaluation split's last chunk) reuse
+        one compiled program per bucket instead of silently re-tracing the
+        whole decode loop for every new shape."""
+        b = 1
+        while b < n:
+            b *= 2
+        return b
+
     def _run_generation(
         self,
         features_batch: np.ndarray,
@@ -145,16 +156,30 @@ class VideoCaptionPredictor:
         temperature: float,
     ) -> Dict[str, jax.Array]:
         feats = jnp.asarray(features_batch, jnp.float32)
+        B = feats.shape[0]
+        bucket = self._bucket_size(B)
+        if bucket != B:
+            pad = jnp.zeros((bucket - B,) + feats.shape[1:], feats.dtype)
+            feats = jnp.concatenate([feats, pad], axis=0)
         fn = self._gen_fn(method, max_length, beam_size, length_penalty)
         if method == "greedy":
-            return fn(self.params, feats, float(temperature))
-        if method == "sample":
+            outputs = fn(self.params, feats, float(temperature))
+        elif method == "sample":
             self._sample_key = jax.random.split(
                 getattr(self, "_sample_key", jax.random.PRNGKey(0))
             )[0]
-            return fn(self.params, feats, self._sample_key, float(temperature),
-                      int(getattr(self, "sample_top_k", 0)))
-        return fn(self.params, feats)
+            outputs = fn(self.params, feats, self._sample_key, float(temperature),
+                         int(getattr(self, "sample_top_k", 0)))
+        else:
+            outputs = fn(self.params, feats)
+        if bucket != B:
+            outputs = {
+                k: v[:B]
+                if hasattr(v, "shape") and v.ndim >= 1 and v.shape[0] == bucket
+                else v
+                for k, v in outputs.items()
+            }
+        return outputs
 
     # --------------------------------------------------------- features
 
