@@ -176,3 +176,63 @@ def test_dryrun_multichip_self_provisions():
     assert result.returncode == 0, result.stderr[-2000:]
     assert "dryrun_multichip OK" in result.stdout
     assert "'data': 4" in result.stdout and "'model': 2" in result.stdout
+
+
+@pytest.mark.parametrize("kind", ["bahdanau", "luong", "multihead"])
+def test_context_parallel_generation_matches_unsharded(tiny_config, kind):
+    """END-TO-END context parallelism: with config.parallel.context_axis set
+    and an ambient 8-way mesh, the full greedy and beam generation paths
+    (not just the standalone attention module) run frame-sharded
+    cross-attention and produce tokens identical to the unsharded run."""
+    from video_captioning_tpu import generation
+    from video_captioning_tpu.models import init_model
+
+    cfg = tiny_config
+    cfg.model.attention_type = kind
+    cfg.model.video_sequence_length = 16  # divisible by the 8-way axis
+    cfg.data.frames_per_video = 16
+    cfg.validate()
+
+    params = init_model(jax.random.PRNGKey(0), cfg, 23)
+    feats = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(1), (4, 16, cfg.model.cnn_feature_dim))
+    )
+    mask = np.ones((4, 16), np.float32)
+    mask[2, 10:] = 0  # ragged tail crosses shard boundaries
+
+    ref_g = generation.generate(params, cfg, feats, 1, 2, video_mask=mask,
+                                method="greedy")
+    ref_b = generation.generate(params, cfg, feats, 1, 2, video_mask=mask,
+                                method="beam", beam_size=4)
+
+    cfg.parallel.data_axis = 1
+    cfg.parallel.model_axis = 8
+    cfg.parallel.context_axis = "model"
+    cfg.validate()
+    mesh = make_mesh(cfg)
+    with jax.sharding.set_mesh(mesh):
+        cp_g = jax.jit(
+            lambda p, f, m: generation.generate(p, cfg, f, 1, 2, video_mask=m,
+                                                method="greedy")
+        )(params, feats, mask)
+        cp_b = jax.jit(
+            lambda p, f, m: generation.generate(p, cfg, f, 1, 2, video_mask=m,
+                                                method="beam", beam_size=4)
+        )(params, feats, mask)
+    cfg.parallel.context_axis = None
+    cfg.parallel.model_axis = 1
+
+    np.testing.assert_array_equal(
+        np.asarray(cp_g["generated_tokens"]), np.asarray(ref_g["generated_tokens"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(cp_g["attention_weights"]),
+        np.asarray(ref_g["attention_weights"]), rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(cp_b["generated_tokens"]), np.asarray(ref_b["generated_tokens"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(cp_b["all_scores"]), np.asarray(ref_b["all_scores"]),
+        rtol=1e-4, atol=1e-5,
+    )

@@ -141,6 +141,12 @@ class ParallelConfig:
     data_axis: int = -1  # -1 = all remaining devices
     model_axis: int = 1
     axis_names: Tuple[str, str] = ("data", "model")
+    # Context parallelism: name of the mesh axis to shard the FRAME axis of
+    # cross-attention over (online-softmax combine across shards). None =
+    # off. Generation/eval paths route attend/attend_beam through
+    # parallel.context_parallel when set; requires an ambient mesh
+    # (jax.sharding.set_mesh) or an explicit mesh at the call site.
+    context_axis: Optional[str] = None
 
 
 @dataclass
@@ -214,6 +220,14 @@ class Config:
             raise ValueError(f"Unknown luong_score: {self.model.luong_score}")
         if self.model.encoder_hidden_dim % self.model.attention_num_heads != 0:
             raise ValueError("encoder_hidden_dim must be divisible by attention_num_heads")
+        if (
+            self.parallel.context_axis is not None
+            and self.parallel.context_axis not in self.parallel.axis_names
+        ):
+            raise ValueError(
+                f"context_axis {self.parallel.context_axis!r} is not one of "
+                f"axis_names {self.parallel.axis_names}"
+            )
 
     def ensure_dirs(self) -> None:
         for p in (

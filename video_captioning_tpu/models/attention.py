@@ -127,6 +127,17 @@ def attend(
     rng: Optional[Array] = None,
 ) -> Tuple[Array, Array]:
     kind = config.model.attention_type
+    cp_axis = config.parallel.context_axis
+    if cp_axis is not None and not train:
+        # Context parallelism: frame axis sharded over the mesh, softmax
+        # combined across shards (parallel/context_parallel.py). Eval-only:
+        # attention dropout under CP would need per-shard rng streams.
+        from ..parallel.context_parallel import attend_cp
+
+        return attend_cp(
+            config, params, cache, encoder_outputs, decoder_hidden,
+            encoder_mask, axis=cp_axis,
+        )
     if kind == "bahdanau":
         if config.kernels.use_pallas_attention and not train:
             from ..ops.attention_pallas import bahdanau_attend_pallas
@@ -289,6 +300,14 @@ def attend_beam(
     """Returns (context (B, K, E), weights (B, K, S)). Eval-only (no
     dropout) — generation never trains."""
     kind = config.model.attention_type
+    cp_axis = config.parallel.context_axis
+    if cp_axis is not None:
+        from ..parallel.context_parallel import attend_cp
+
+        return attend_cp(
+            config, params, cache, encoder_outputs, decoder_hidden,
+            encoder_mask, axis=cp_axis,
+        )
     if kind == "bahdanau":
         dec_proj = apply_linear(params["decoder_projection"], decoder_hidden)
         enc_proj = cache["enc_proj"]

@@ -85,3 +85,118 @@ def shard_frames(mesh: Mesh, x: Array, axis: str = "model") -> Array:
     """Place a (B, S, ...) array with S sharded over `axis`."""
     spec = P(None, axis) if x.ndim == 2 else P(None, axis, *([None] * (x.ndim - 2)))
     return jax.device_put(x, NamedSharding(mesh, spec))
+
+
+# ==========================================================================
+# Generic CP attend: all attention kinds, single-query (B, D) and beam
+# (B, K, D) — this is what models/attention.py routes through when
+# ``config.parallel.context_axis`` is set.
+# ==========================================================================
+
+
+def _frame_spec(x: Array, axis: str) -> P:
+    """(B, S, ...) → P(None, axis, None...): frame axis sharded."""
+    return P(None, axis, *([None] * (x.ndim - 2)))
+
+
+def _online_softmax(scores: Array, axis: str) -> Array:
+    """Softmax over the (sharded) last axis via global-max/global-sum
+    combine — the blockwise decomposition used by flash/ring attention."""
+    m_local = jnp.max(scores, axis=-1)
+    m_global = jax.lax.pmax(m_local, axis)
+    exp = jnp.exp(scores - m_global[..., None])
+    denom = jax.lax.psum(jnp.sum(exp, axis=-1), axis)
+    return exp / denom[..., None]
+
+
+def attend_cp(
+    config: Config,
+    params: dict,
+    cache: dict,
+    encoder_outputs: Array,   # (B, S, E), frame axis sharded over ``axis``
+    decoder_hidden: Array,    # (B, D) or (B, K, D), replicated
+    encoder_mask: Optional[Array],  # (B, S) or None
+    axis: str,
+    mesh: Optional[Mesh] = None,
+) -> Tuple[Array, Array]:
+    """Frame-sharded cross-attention for one decode step.
+
+    Numerically identical to :func:`models.attention.attend` /
+    ``attend_beam`` (eval mode). Communication per step: one pmax + two
+    psums of O(B[,K][,H]) scalars plus the (B[,K],E) context psum —
+    negligible against ICI bandwidth. ``mesh=None`` uses the ambient mesh
+    (``jax.sharding.set_mesh``), which is how the jitted generation loops
+    reach it.
+    """
+    kind = config.model.attention_type
+    beam = decoder_hidden.ndim == 3
+
+    def _expand_mask(scores, mask_l):
+        # mask (B, S_l) → broadcast over the query/head dims between B and S.
+        idx = (slice(None),) + (None,) * (scores.ndim - 2) + (slice(None),)
+        return jnp.where(mask_l[idx] > 0, scores, _MASK_FILL)
+
+    def local_attend(cache_l, enc_l, dec_h, mask_l):
+        if kind == "bahdanau":
+            dec_proj = apply_linear(params["decoder_projection"], dec_h)
+            enc_proj = cache_l["enc_proj"]
+            if beam:
+                combined = jnp.tanh(enc_proj[:, None] + dec_proj[:, :, None, :])
+            else:
+                combined = jnp.tanh(enc_proj + dec_proj[:, None, :])
+            scores = apply_linear(params["attention_linear"], combined)[..., 0]
+        elif kind == "luong":
+            score = config.model.luong_score
+            if score == "dot":
+                scores = jnp.einsum("b...d,bsd->b...s", dec_h, enc_l)
+            elif score == "general":
+                proj = apply_linear(params["linear_in"], dec_h)
+                scores = jnp.einsum("b...e,bse->b...s", proj, enc_l)
+            else:  # concat
+                dec_proj = apply_linear(params["linear_query"], dec_h)
+                enc_proj = cache_l["enc_proj"]
+                if beam:
+                    combined = jnp.tanh(dec_proj[:, :, None, :] + enc_proj[:, None])
+                else:
+                    combined = jnp.tanh(dec_proj[:, None, :] + enc_proj)
+                scores = apply_linear(params["linear_v"], combined)[..., 0]
+        else:  # multihead
+            k, v = cache_l["k"], cache_l["v"]  # (B, S_l, H, hd)
+            H, hd = k.shape[2], k.shape[3]
+            q = apply_linear(params["query_linear"], dec_h)
+            q = q.reshape(q.shape[:-1] + (H, hd))
+            scores = jnp.einsum("b...hd,bshd->b...hs", q, k) / jnp.sqrt(
+                jnp.float32(hd)
+            ).astype(q.dtype)
+            scores = _expand_mask(scores, mask_l)
+            w = _online_softmax(scores, axis)  # (B, [K,] H, S_l)
+            ctx = jnp.einsum("b...hs,bshd->b...hd", w, v)
+            ctx = jax.lax.psum(ctx.reshape(ctx.shape[:-2] + (H * hd,)), axis)
+            return ctx, w.mean(axis=-2)  # head-avg weights, S-sharded
+
+        scores = _expand_mask(scores, mask_l)
+        w = _online_softmax(scores, axis)  # (B, [K,] S_l)
+        ctx = jax.lax.psum(jnp.einsum("b...s,bse->b...e", w, enc_l), axis)
+        return ctx, w
+
+    if encoder_mask is None:
+        encoder_mask = jnp.ones(encoder_outputs.shape[:2], encoder_outputs.dtype)
+
+    cache_specs = {k: _frame_spec(v, axis) for k, v in cache.items()}
+    weights_spec = P(None, None, axis) if beam else P(None, axis)
+    kwargs = {"mesh": mesh} if mesh is not None else {}
+    sharded = jax.shard_map(
+        local_attend,
+        in_specs=(
+            cache_specs,
+            _frame_spec(encoder_outputs, axis),
+            P(),
+            P(None, axis),
+        ),
+        out_specs=(P(), weights_spec),
+        **kwargs,
+    )
+    context, weights = sharded(cache, encoder_outputs, decoder_hidden, encoder_mask)
+    if kind == "multihead":
+        context = apply_linear(params["output_linear"], context)
+    return context, weights
