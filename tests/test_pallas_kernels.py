@@ -123,3 +123,104 @@ def test_pallas_gates_full_greedy_decode(tiny_config):
     tiny_config.kernels.interpret = False
 
     np.testing.assert_array_equal(got, ref)
+
+
+def test_pallas_topk2d_matches_lax_top_k():
+    """Streaming top-k kernel: same values AND tie order as lax.top_k."""
+    from video_captioning_tpu.ops.topk_pallas import topk2d_pallas
+
+    rs = np.random.RandomState(0)
+    x = rs.randn(64, 512).astype(np.float32)
+    x[3, 10] = x[3, 200] = x[3, 77] = 2.5  # ties -> ascending index order
+    x[10, :] = 1.0  # full-row tie
+    for k in (1, 5, 8):
+        v1, i1 = topk2d_pallas(jnp.asarray(x), k, interpret=True)
+        v2, i2 = jax.lax.top_k(jnp.asarray(x), k)
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_fused_vocab_topk_lse_matches_xla():
+    """Fused vocab-projection+top-k+lse kernel vs the XLA composite with
+    matching operand precision (bf16 operands, f32 accumulation), including
+    vocab padding and cross-block ties."""
+    from video_captioning_tpu.ops.vocab_topk_pallas import (
+        pad_vocab_weights,
+        vocab_topk_lse,
+    )
+
+    rs = np.random.RandomState(1)
+    N, H, V, K = 16, 32, 700, 5  # V=700: not a lane multiple -> padding path
+    x = jnp.asarray(rs.randn(N, H).astype(np.float32))
+    W = jnp.asarray(rs.randn(H, V).astype(np.float32) * 0.1)
+    b = jnp.asarray(rs.randn(V).astype(np.float32) * 0.1)
+
+    wp, bp, _ = pad_vocab_weights(W, b, vt=128)
+    vals, idx, lse = vocab_topk_lse(x, wp, bp, K, vt=128, interpret=True)
+
+    logits = jax.lax.dot(
+        x.astype(jnp.bfloat16), W.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    ) + b
+    ref_v, ref_i = jax.lax.top_k(logits, K)
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(ref_v), rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_i))
+    np.testing.assert_allclose(
+        np.asarray(lse), np.asarray(jax.nn.logsumexp(logits, axis=1)),
+        rtol=1e-5, atol=1e-5,
+    )
+
+    # exact ties spanning 128-column blocks keep ascending-index order
+    x2 = np.zeros((8, 32), np.float32); x2[:, 0] = 1.0
+    W2 = np.zeros((32, 700), np.float32)
+    W2[0, [3, 130, 131, 500, 699]] = 2.0
+    wp2, bp2, _ = pad_vocab_weights(jnp.asarray(W2), jnp.zeros(700), vt=128)
+    _, i2, _ = vocab_topk_lse(jnp.asarray(x2), wp2, bp2, K, vt=128, interpret=True)
+    np.testing.assert_array_equal(np.asarray(i2[0]), [3, 130, 131, 500, 699])
+
+
+def test_beam_fused_vocab_topk_path(tiny_config):
+    """End-to-end beam with kernels.use_fused_vocab_topk forced through the
+    interpret-mode kernel matches the XLA path token-for-token."""
+    import video_captioning_tpu.generation.beam as beam_mod
+    from video_captioning_tpu.models import init_model
+    from video_captioning_tpu.models import captioner
+
+    cfg = tiny_config
+    params = init_model(jax.random.PRNGKey(3), cfg, 29)
+    feats = jax.random.normal(jax.random.PRNGKey(4), (3, 10, cfg.model.cnn_feature_dim))
+    enc, final, mask = captioner.encode(params, cfg, feats)
+
+    ref = beam_mod.beam_search_generate(
+        params, cfg, enc, final, 1, 2, 8, mask, beam_size=4
+    )
+
+    # Force the fused path on CPU by monkeypatching the backend gate and
+    # running the kernel in interpreter mode.
+    import unittest.mock as mock
+    from video_captioning_tpu.ops import vocab_topk_pallas as vtp
+
+    cfg.kernels.use_fused_vocab_topk = True
+    orig = vtp.vocab_topk_lse
+    try:
+        with mock.patch.object(jax, "default_backend", return_value="tpu"), \
+             mock.patch.object(
+                 vtp, "vocab_topk_lse",
+                 lambda *a, **kw: orig(*a, **{**kw, "interpret": True}),
+             ):
+            got = beam_mod.beam_search_generate(
+                params, cfg, enc, final, 1, 2, 8, mask, beam_size=4
+            )
+    finally:
+        cfg.kernels.use_fused_vocab_topk = False
+
+    # bf16 operand rounding in the kernel's matmul can flip exact ties only;
+    # tokens must agree on CPU where the XLA path is fp32? -> compare scores
+    # loosely and tokens exactly (random weights: no ties in practice).
+    np.testing.assert_array_equal(
+        np.asarray(got["generated_tokens"]), np.asarray(ref["generated_tokens"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["all_scores"]), np.asarray(ref["all_scores"]),
+        rtol=5e-2, atol=5e-2,
+    )

@@ -156,6 +156,11 @@ class KernelConfig:
 
     use_pallas_attention: bool = False
     use_pallas_lstm: bool = False
+    # Fused vocab-projection + top-k + logsumexp in the beam loop
+    # (ops/vocab_topk_pallas.py): TPU-only. Measured parity with the
+    # hierarchical XLA path at reference shapes (9161 vs 9183 clips/s,
+    # docs/PERFORMANCE.md) — kept as infrastructure, default off.
+    use_fused_vocab_topk: bool = False
     interpret: bool = False  # force interpreter mode (CPU testing)
     # Compute additive-attention scores (the profiled decode hot spot: 52M
     # tanh/step at reference scale) in bfloat16 while keeping softmax and

@@ -89,6 +89,24 @@ def beam_search_generate(
         else {}
     )
 
+    # Fused vocab-projection+top-k+logsumexp kernel (TPU): never
+    # materializes the (B·K, V) logits in HBM. Weight padding/cast happens
+    # once per call, outside the decode loop.
+    use_fused_vocab = (
+        config.kernels.use_fused_vocab_topk
+        and jax.default_backend() == "tpu"
+        and B * K <= 2560  # VMEM budget for the row-resident block
+        and min(K, V) <= 16
+    )
+    if use_fused_vocab:
+        from ..ops.vocab_topk_pallas import pad_vocab_weights, vocab_topk_lse
+
+        w_pad, b_pad, _ = pad_vocab_weights(
+            dec["output_projection"]["kernel"].astype(jnp.float32),
+            dec["output_projection"]["bias"].astype(jnp.float32),
+            vt=2048,
+        )
+
     sequences0 = jnp.full((B, K, L), start_token_id, jnp.int32)
     # Only beam 0 live at step 0 so identical first expansions don't
     # produce K duplicate beams.
@@ -110,12 +128,6 @@ def beam_search_generate(
             sequences, jnp.full((B, K, 1), t, jnp.int32), axis=2
         )[..., 0]  # (B, K)
 
-        logits, new_state, _ = decoder_mod.decoder_step_beam(
-            dec, config, last_tokens, state, encoder_outputs, attn_cache,
-            encoder_mask,
-        )
-        logits32 = logits.astype(jnp.float32).reshape(B, K, V)
-
         # Hierarchical exact top-K (profiled: the naive flat
         # ``top_k(scores + log_softmax(logits), K·V)`` was ~400 µs/step at
         # B=256, V=10000 — 250 µs in the (B, K·V) top-k custom fusion plus
@@ -126,16 +138,32 @@ def beam_search_generate(
         # then top-K over the K·K candidates. Identical results, ~2x less
         # top-k traffic, no (B, K·V) materialization.
         kk = min(K, V)  # a beam can propose at most V distinct tokens
-        # rank-2 operand: XLA only lowers top_k to its fast TopK custom
-        # fusion for 2-D inputs (3-D falls back to a full per-row sort,
-        # measured 45x slower at this shape).
-        top_logits, top_tokens = jax.lax.top_k(logits32.reshape(B * K, V), kk)
-        top_logits = top_logits.reshape(B, K, kk)
-        top_tokens = top_tokens.reshape(B, K, kk)
-        row_max = top_logits[..., 0]  # top-1 IS the row max
-        lse = row_max + jnp.log(
-            jnp.sum(jnp.exp(logits32 - row_max[..., None]), axis=-1)
-        )  # (B, K)
+        if use_fused_vocab:
+            # Fused path: logits never hit HBM at all.
+            pre_vocab, new_state, _ = decoder_mod.decoder_step_beam_core(
+                dec, config, last_tokens, state, encoder_outputs, attn_cache,
+                encoder_mask,
+            )
+            top_logits, top_tokens, lse = vocab_topk_lse(pre_vocab, w_pad, b_pad, kk, vt=2048)
+            top_logits = top_logits.reshape(B, K, kk)
+            top_tokens = top_tokens.reshape(B, K, kk)
+            lse = lse.reshape(B, K)
+        else:
+            logits, new_state, _ = decoder_mod.decoder_step_beam(
+                dec, config, last_tokens, state, encoder_outputs, attn_cache,
+                encoder_mask,
+            )
+            logits32 = logits.astype(jnp.float32).reshape(B, K, V)
+            # rank-2 operand: XLA only lowers top_k to its fast TopK custom
+            # fusion for 2-D inputs (3-D falls back to a full per-row sort,
+            # measured 45x slower at this shape).
+            top_logits, top_tokens = jax.lax.top_k(logits32.reshape(B * K, V), kk)
+            top_logits = top_logits.reshape(B, K, kk)
+            top_tokens = top_tokens.reshape(B, K, kk)
+            row_max = top_logits[..., 0]  # top-1 IS the row max
+            lse = row_max + jnp.log(
+                jnp.sum(jnp.exp(logits32 - row_max[..., None]), axis=-1)
+            )  # (B, K)
         cand = scores[:, :, None] + (top_logits - lse[..., None])  # (B, K, kk)
         # Dead slots stay dead: their score is NEG_INF already, which
         # dominates every candidate they could propose.

