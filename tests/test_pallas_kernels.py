@@ -224,3 +224,69 @@ def test_beam_fused_vocab_topk_path(tiny_config):
         np.asarray(got["all_scores"]), np.asarray(ref["all_scores"]),
         rtol=5e-2, atol=5e-2,
     )
+
+
+def test_lstm_seq_kernel_matches_scan():
+    """Whole-sequence LSTM kernel vs lstm_scan: masked packed-sequence
+    semantics (state carry-through, zero outputs past length, final state
+    at last valid step), both directions stacked."""
+    from video_captioning_tpu.models import layers
+    from video_captioning_tpu.ops.lstm_seq_pallas import lstm_seq_pallas
+
+    B, T, H = 8, 10, 16
+    fwd = layers.init_lstm_layer(jax.random.PRNGKey(1), H, H)
+    bwd = layers.init_lstm_layer(jax.random.PRNGKey(2), H, H)
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(B, T, H).astype(np.float32))
+    xr = jnp.asarray(rs.randn(B, T, H).astype(np.float32))
+    mask = np.ones((B, T), np.float32)
+    mask[2, 6:] = 0
+    mask[5, 3:] = 0
+    mask = jnp.asarray(mask)
+    h0 = jnp.zeros((B, H))
+    c0 = jnp.zeros((B, H))
+
+    stacked = jax.tree_util.tree_map(lambda a, b: jnp.stack([a, b]), fwd, bwd)
+    xs2 = jnp.stack([x, xr])
+    outs_ref, (h_ref, c_ref) = jax.vmap(
+        lambda lyr, xs: layers.lstm_scan(lyr, xs, h0, c0, mask=mask)
+    )(stacked, xs2)
+
+    xproj = jnp.einsum("dbti,dio->dbto", xs2, stacked["w_ih"]) + (
+        stacked["b_ih"] + stacked["b_hh"]
+    )[:, None, None, :]
+    outs, (h_last, c_last) = lstm_seq_pallas(
+        jnp.transpose(xproj, (2, 0, 1, 3)), stacked["w_hh"], mask, interpret=True
+    )
+    outs = jnp.transpose(outs, (1, 2, 0, 3))
+    # bf16 recurrent matmul operands (matching XLA's TPU DEFAULT policy)
+    # vs the CPU scan's fp32: tolerance covers operand rounding only.
+    np.testing.assert_allclose(np.asarray(outs), np.asarray(outs_ref), rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(h_last), np.asarray(h_ref), rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(c_last), np.asarray(c_ref), rtol=2e-2, atol=2e-2)
+
+
+def test_encoder_seq_kernel_path_matches_scan(tiny_config):
+    """apply_encoder routed through the seq kernel (interpret mode) agrees
+    with the lax.scan path end-to-end, ragged mask included."""
+    from video_captioning_tpu.models.encoder import apply_encoder, init_encoder
+
+    cfg = tiny_config
+    params = init_encoder(jax.random.PRNGKey(0), cfg)
+    feats = jax.random.normal(
+        jax.random.PRNGKey(1), (4, 10, cfg.model.cnn_feature_dim)
+    )
+    mask = np.ones((4, 10), np.float32)
+    mask[1, 7:] = 0
+    mask = jnp.asarray(mask)
+
+    enc_ref, fin_ref = apply_encoder(params, cfg, feats, mask)
+    cfg.kernels.use_pallas_lstm_seq = True
+    cfg.kernels.interpret = True
+    try:
+        enc, fin = apply_encoder(params, cfg, feats, mask)
+    finally:
+        cfg.kernels.use_pallas_lstm_seq = False
+        cfg.kernels.interpret = False
+    np.testing.assert_allclose(np.asarray(enc), np.asarray(enc_ref), rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(fin), np.asarray(fin_ref), rtol=2e-2, atol=2e-2)

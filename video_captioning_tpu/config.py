@@ -156,6 +156,12 @@ class KernelConfig:
 
     use_pallas_attention: bool = False
     use_pallas_lstm: bool = False
+    # Whole-sequence encoder LSTM kernel (ops/lstm_seq_pallas.py):
+    # recurrent weights stay VMEM-resident across all T steps, no per-step
+    # update-slices. TPU eval paths only (no custom VJP; training keeps
+    # lax.scan). Measured +2.1% e2e beam-5 with bit-identical tokens
+    # (docs/PERFORMANCE.md).
+    use_pallas_lstm_seq: bool = True
     # Fused vocab-projection + top-k + logsumexp in the beam loop
     # (ops/vocab_topk_pallas.py): TPU-only. Measured parity with the
     # hierarchical XLA path at reference shapes (9161 vs 9183 clips/s,

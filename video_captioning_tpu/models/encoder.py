@@ -91,9 +91,33 @@ def apply_encoder(
             lambda a, b: jnp.stack([a, b]), layer["fwd"], layer["bwd"]
         )
         xs2 = jnp.stack([x, x_rev])  # (2, B, T, in)
-        outs2, (h_last2, c_last2) = jax.vmap(
-            lambda lyr, xs: lstm_scan(lyr, xs, h0, c0, mask=video_mask)
-        )(stacked_layer, xs2)
+        use_seq_kernel = (
+            config.kernels.use_pallas_lstm_seq
+            and not train  # no custom VJP — training keeps lax.scan
+            and x.dtype == jnp.float32
+            and (jax.default_backend() == "tpu" or config.kernels.interpret)
+        )
+        if use_seq_kernel:
+            # Whole recurrence in one Pallas kernel: recurrent weights
+            # VMEM-resident across all T steps, no per-step update-slices
+            # (ops/lstm_seq_pallas.py). Input projections hoisted here,
+            # identical to lstm_scan's hoist.
+            from ..ops.lstm_seq_pallas import lstm_seq_pallas
+
+            xproj = jnp.einsum(
+                "dbti,dio->dbto", xs2, stacked_layer["w_ih"]
+            ) + (stacked_layer["b_ih"] + stacked_layer["b_hh"])[:, None, None, :]
+            outs_t, (h_last2, c_last2) = lstm_seq_pallas(
+                jnp.transpose(xproj, (2, 0, 1, 3)),  # (T, 2, B, 4H)
+                stacked_layer["w_hh"],
+                video_mask,
+                interpret=config.kernels.interpret,
+            )
+            outs2 = jnp.transpose(outs_t, (1, 2, 0, 3))  # (2, B, T, H)
+        else:
+            outs2, (h_last2, c_last2) = jax.vmap(
+                lambda lyr, xs: lstm_scan(lyr, xs, h0, c0, mask=video_mask)
+            )(stacked_layer, xs2)
         out_f, out_b_rev = outs2[0], outs2[1]
         h_f, h_b = h_last2[0], h_last2[1]
         c_f = c_last2[0]
