@@ -55,7 +55,11 @@ def main():
             @jax.jit
             def feats_only(cnn, frames):
                 def body(i, acc):
-                    x = (frames.astype(dtype) / 255.0 - _MEAN.astype(dtype)) / _STD.astype(dtype)
+                    # Vary the input per iteration: a loop-invariant body
+                    # would be hoisted out of the fori_loop entirely
+                    # (LICM), timing one iteration instead of ITERS.
+                    x = ((frames + i.astype(jnp.uint8)).astype(dtype) / 255.0
+                         - _MEAN.astype(dtype)) / _STD.astype(dtype)
                     f = apply_fn(cnn, x)
                     return acc + f.sum().astype(jnp.float32)
                 return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0))
@@ -74,37 +78,43 @@ def main():
             print(f"{name:9s} {dtype_name:9s}: {fps:8.0f} frames/s "
                   f"({fps/FRAMES:7.2f} clips/s)")
 
-    # Full on-chip pipeline: frames → ResNet50 → BiLSTM → beam-5 → tokens.
-    config = Config()
-    config.model.cnn_feature_dim = 2048
-    config.validate()
-    dtype = jnp.bfloat16
-    cnn = _cast(init_resnet50(jax.random.PRNGKey(1)), dtype)
-    params = _cast(captioner.init_model(jax.random.PRNGKey(0), config, 10000), dtype)
-    b = params["decoder"]["output_projection"]["bias"]
-    params["decoder"]["output_projection"]["bias"] = b.at[2].set(-1e9)
+    # Full on-chip pipeline: frames → CNN → BiLSTM → beam-5 → tokens,
+    # both backbones (the BASELINE north-star slice minus host video decode).
+    for name, init_fn, apply_fn, feat_dim in [
+        ("resnet50", init_resnet50, apply_resnet50, 2048),
+        ("vgg16", init_vgg16, apply_vgg16, 4096),
+    ]:
+        config = Config()
+        config.model.cnn_feature_dim = feat_dim
+        config.validate()
+        dtype = jnp.bfloat16
+        cnn = _cast(init_fn(jax.random.PRNGKey(1)), dtype)
+        params = _cast(captioner.init_model(jax.random.PRNGKey(0), config, 10000), dtype)
+        b = params["decoder"]["output_projection"]["bias"]
+        params["decoder"]["output_projection"]["bias"] = b.at[2].set(-1e9)
 
-    @jax.jit
-    def full(cnn, params, frames):
-        def body(i, acc):
-            x = (frames.astype(dtype) / 255.0 - _MEAN.astype(dtype)) / _STD.astype(dtype)
-            feats = apply_resnet50(cnn, x).reshape(CLIPS, FRAMES, 2048)
-            enc_outs, final, mask = captioner.encode(params, config, feats)
-            toks = beam_search_generate(
-                params, config, enc_outs, final, 1, 2, 20, mask, beam_size=5
-            )["generated_tokens"]
-            return acc + toks.sum()
-        return jax.lax.fori_loop(0, ITERS, body, jnp.int32(0))
+        @jax.jit
+        def full(cnn, params, frames):
+            def body(i, acc):
+                x = ((frames + i.astype(jnp.uint8)).astype(dtype) / 255.0
+                     - _MEAN.astype(dtype)) / _STD.astype(dtype)
+                feats = apply_fn(cnn, x).reshape(CLIPS, FRAMES, feat_dim)
+                enc_outs, final, mask = captioner.encode(params, config, feats)
+                toks = beam_search_generate(
+                    params, config, enc_outs, final, 1, 2, 20, mask, beam_size=5
+                )["generated_tokens"]
+                return acc + toks.sum()
+            return jax.lax.fori_loop(0, ITERS, body, jnp.int32(0))
 
-    int(full(cnn, params, frames_u8))
-    ts = []
-    for _ in range(RUNS):
-        t0 = time.perf_counter()
         int(full(cnn, params, frames_u8))
-        ts.append(time.perf_counter() - t0)
-    cps = CLIPS * ITERS / min(ts)
-    results["full_pipeline_resnet50_beam5_bf16"] = {"clips_per_sec": round(cps, 2)}
-    print(f"full frames->resnet50->BiLSTM->beam5 (bf16): {cps:.2f} clips/s")
+        ts = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            int(full(cnn, params, frames_u8))
+            ts.append(time.perf_counter() - t0)
+        cps = CLIPS * ITERS / min(ts)
+        results[f"full_pipeline_{name}_beam5_bf16"] = {"clips_per_sec": round(cps, 2)}
+        print(f"full frames->{name}->BiLSTM->beam5 (bf16): {cps:.2f} clips/s")
 
     out = Path(__file__).parent / "cnn_results.json"
     out.write_text(json.dumps(results, indent=2))
