@@ -483,6 +483,21 @@ class VideoCaptioningTrainer:
                 }
             )
 
+    def _opt_state_fingerprint(self, opt_state) -> int:
+        """CRC of the optax state's pytree structure + leaf shapes/dtypes.
+        Restoring into a differently-configured optimizer (e.g. a changed
+        ``freeze_encoder`` or optimizer type) silently misassigns moments
+        when only flat leaves are compared — the fingerprint turns that
+        into a loud error."""
+        import zlib
+
+        leaves, treedef = jax.tree_util.tree_flatten(opt_state)
+        desc = str(treedef) + "|" + ";".join(
+            f"{getattr(x, 'shape', ())}:{getattr(x, 'dtype', type(x).__name__)}"
+            for x in leaves
+        )
+        return zlib.crc32(desc.encode())
+
     def _save(self, epoch: int, metrics: Dict[str, float], is_best: bool) -> None:
         if self.orbax_manager is not None:
             # Async sharded save; training continues while it lands.
@@ -491,6 +506,9 @@ class VideoCaptioningTrainer:
                 extra={
                     "global_step": self.global_step,
                     "best_val_score": self.best_val_score,
+                    "opt_state_fingerprint": self._opt_state_fingerprint(
+                        self.opt_state
+                    ),
                 },
             )
             return
@@ -518,10 +536,32 @@ class VideoCaptioningTrainer:
             jax.device_put, restored["params"], shardings
         )
         # opt_state comes back as a plain dict pytree; rebuild the typed
-        # optax state by initializing and overwriting leaf values.
+        # optax state by initializing and overwriting leaf values. This is
+        # only sound when the current optimizer config matches save time —
+        # validate before unflattening instead of silently misassigning.
         typed = jax.jit(self.tx.init)(self.params)
         flat_vals = jax.tree_util.tree_leaves(restored["opt_state"])
-        treedef = jax.tree_util.tree_structure(typed)
+        typed_leaves, treedef = jax.tree_util.tree_flatten(typed)
+        saved_fp = restored["meta"].get("opt_state_fingerprint")
+        if saved_fp is not None:
+            current_fp = self._opt_state_fingerprint(typed)
+            if int(saved_fp) != current_fp:
+                raise ValueError(
+                    "Orbax checkpoint was saved with a different optimizer "
+                    "configuration (opt_state fingerprint mismatch) — e.g. "
+                    "optimizer type, freeze_encoder, or model shape changed. "
+                    "Resume with the training config used at save time."
+                )
+        if len(flat_vals) != len(typed_leaves) or any(
+            getattr(s, "shape", None) != getattr(t, "shape", None)
+            for s, t in zip(flat_vals, typed_leaves)
+        ):
+            raise ValueError(
+                "Restored optimizer state does not match the current "
+                f"optimizer ({len(flat_vals)} vs {len(typed_leaves)} leaves "
+                "or shape mismatch) — the optimizer config differs from "
+                "save time."
+            )
         self.opt_state = jax.tree_util.tree_unflatten(
             treedef, [jax.device_put(v) for v in flat_vals]
         )
