@@ -116,17 +116,17 @@ def beam_search_generate(
     fin_seqs0 = jnp.full((B, K, L), start_token_id, jnp.int32)
     fin_scores0 = jnp.full((B, K), NEG_INF, jnp.float32)
 
+    last_tokens0 = jnp.full((B, K), start_token_id, jnp.int32)
+
     def cond(carry):
-        t, _, scores, _, _, _ = carry
+        t, _, _, scores, _, _, _ = carry
         any_live = jnp.any(scores > NEG_INF / 2)
         return jnp.logical_and(t < max_length, any_live)
 
     def body(carry):
-        t, sequences, scores, state, fin_seqs, fin_scores = carry
-
-        last_tokens = jnp.take_along_axis(
-            sequences, jnp.full((B, K, 1), t, jnp.int32), axis=2
-        )[..., 0]  # (B, K)
+        # last_tokens rides the carry — re-gathering it from `sequences`
+        # each step was a latency-bound custom-gather fusion (profiled).
+        t, last_tokens, sequences, scores, state, fin_seqs, fin_scores = carry
 
         # Hierarchical exact top-K (profiled: the naive flat
         # ``top_k(scores + log_softmax(logits), K·V)`` was ~400 µs/step at
@@ -173,20 +173,32 @@ def beam_search_generate(
             top_tokens.reshape(B, K * kk), flat_idx, axis=1
         ).astype(jnp.int32)
 
+        # Rebeaming as one-hot selects: K is tiny (beams), so a masked
+        # reduce over the beam axis is a handful of VPU ops, where
+        # take_along_axis lowers to latency-bound custom-gather fusions
+        # (profiled at ~10-40 µs each at B=256 despite touching only KBs).
+        onehot = (
+            beam_idx[:, :, None] == jnp.arange(K, dtype=jnp.int32)[None, None, :]
+        )  # (B, Knew, Kold)
+
         # Rebeam sequences and append the chosen token at slot t+1.
-        gathered = jnp.take_along_axis(sequences, beam_idx[:, :, None], axis=1)
+        gathered = jnp.sum(
+            jnp.where(onehot[:, :, :, None], sequences[:, None, :, :], 0),
+            axis=2,
+        )  # (B, K, L)
         new_sequences = jnp.where(
             (jnp.arange(L)[None, None, :] == t + 1),
             token_idx[:, :, None],
             gathered,
         )
 
-        # Rebeam LSTM state: (layers, B·K, H) → gather along the beam axis.
+        # Rebeam LSTM state: (layers, B·K, H), select along the beam axis.
+        oh_f = onehot.astype(new_state[0].dtype)
+
         def rebeam(x):
             layers, _, H = x.shape
             xr = x.reshape(layers, B, K, H)
-            idx = beam_idx[None, :, :, None]
-            return jnp.take_along_axis(xr, idx, axis=2).reshape(layers, B * K, H)
+            return jnp.einsum("bnk,lbkh->lbnh", oh_f, xr).reshape(layers, B * K, H)
 
         new_state = (rebeam(new_state[0]), rebeam(new_state[1]))
 
@@ -207,10 +219,16 @@ def beam_search_generate(
         # completed list, ref :237-249).
         new_scores = jnp.where(is_end, NEG_INF, top_scores)
 
-        return (t + 1, new_sequences, new_scores, new_state, fin_seqs_new, fin_scores_new)
+        return (
+            t + 1, token_idx, new_sequences, new_scores, new_state,
+            fin_seqs_new, fin_scores_new,
+        )
 
-    carry = (jnp.int32(0), sequences0, scores0, state0, fin_seqs0, fin_scores0)
-    t_final, sequences, scores, _, fin_seqs, fin_scores = jax.lax.while_loop(
+    carry = (
+        jnp.int32(0), last_tokens0, sequences0, scores0, state0,
+        fin_seqs0, fin_scores0,
+    )
+    t_final, _, sequences, scores, _, fin_seqs, fin_scores = jax.lax.while_loop(
         cond, body, carry
     )
 
