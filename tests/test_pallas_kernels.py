@@ -266,6 +266,176 @@ def test_lstm_seq_kernel_matches_scan():
     np.testing.assert_allclose(np.asarray(c_last), np.asarray(c_ref), rtol=2e-2, atol=2e-2)
 
 
+def _lstm_seq_reference(xproj, w_hh, mask):
+    """lax.scan implementation matching lstm_seq_train's numerics exactly
+    (bf16 matmul operands, fp32 state/accumulation, masked carry-through) —
+    the oracle for the custom-VJP kernel's values AND autodiff gradients."""
+    T, ND, B, H4 = xproj.shape
+
+    def dir_scan(xp_d, w_d):  # xp_d: (T, B, 4H), w_d: (H, 4H)
+        H = H4 // 4
+
+        def step(carry, inp):
+            h, c = carry
+            xp_t, m = inp
+            recur = jax.lax.dot(
+                h.astype(jnp.bfloat16),
+                w_d.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+            gates = xp_t.astype(jnp.float32) + recur
+            i, f, g, o = jnp.split(gates, 4, axis=-1)
+            c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+            h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+            mm = m[:, None]
+            h_keep = jnp.where(mm > 0, h_new, h)
+            c_keep = jnp.where(mm > 0, c_new, c)
+            out = jnp.where(mm > 0, h_new, jnp.zeros_like(h_new))
+            return (h_keep, c_keep), out
+
+        h0 = jnp.zeros((B, H), jnp.float32)
+        (h_f, c_f), outs = jax.lax.scan(
+            step, (h0, h0), (xp_d, jnp.swapaxes(mask, 0, 1))
+        )
+        return outs, h_f, c_f
+
+    outs, h_f, c_f = jax.vmap(dir_scan, in_axes=(1, 0), out_axes=(1, 0, 0))(
+        xproj, w_hh
+    )
+    dt = xproj.dtype
+    return outs.astype(dt), (h_f.astype(dt), c_f.astype(dt))
+
+
+def _seq_loss(fn, probes):
+    p_out, p_h, p_c = probes
+
+    def loss(xproj, w_hh, mask):
+        outs, (h_last, c_last) = fn(xproj, w_hh, mask)
+        return (
+            jnp.sum(outs.astype(jnp.float32) * p_out)
+            + jnp.sum(h_last.astype(jnp.float32) * p_h)
+            + jnp.sum(c_last.astype(jnp.float32) * p_c)
+        )
+
+    return loss
+
+
+def test_lstm_seq_train_values_and_grads_match_reference():
+    """Custom-VJP whole-sequence kernel: forward values match the
+    numerics-identical scan reference tightly, and jax.grad through the
+    Pallas backward kernel matches autodiff through that reference."""
+    from video_captioning_tpu.ops.lstm_seq_pallas import lstm_seq_train
+
+    B, T, H, ND = 8, 12, 16, 2
+    rs = np.random.RandomState(3)
+    xproj = jnp.asarray(rs.randn(T, ND, B, 4 * H).astype(np.float32) * 0.5)
+    w_hh = jnp.asarray(rs.randn(ND, H, 4 * H).astype(np.float32) * 0.2)
+    mask = np.ones((B, T), np.float32)
+    mask[2, 7:] = 0
+    mask[5, 1:] = 0
+    mask = jnp.asarray(mask)
+    probes = tuple(
+        jnp.asarray(rs.randn(*s).astype(np.float32))
+        for s in [(T, ND, B, H), (ND, B, H), (ND, B, H)]
+    )
+
+    kern = lambda xp, w, m: lstm_seq_train(xp, w, m, 4, True)
+    outs, (h_l, c_l) = kern(xproj, w_hh, mask)
+    outs_r, (h_r, c_r) = _lstm_seq_reference(xproj, w_hh, mask)
+    np.testing.assert_allclose(np.asarray(outs), np.asarray(outs_r),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(h_l), np.asarray(h_r),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c_l), np.asarray(c_r),
+                               rtol=1e-5, atol=1e-5)
+
+    g_kern = jax.grad(_seq_loss(kern, probes), argnums=(0, 1))(
+        xproj, w_hh, mask
+    )
+    g_ref = jax.grad(_seq_loss(_lstm_seq_reference, probes), argnums=(0, 1))(
+        xproj, w_hh, mask
+    )
+    # The Pallas backward casts the outgoing cotangent to bf16 for its two
+    # matmuls (operand parity with the forward); autodiff keeps it fp32 —
+    # tolerance covers that operand rounding only.
+    for got, ref, name in zip(g_kern, g_ref, ["dxproj", "dw_hh"]):
+        scale = np.abs(np.asarray(ref)).max()
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=2e-2, atol=2e-2 * scale,
+            err_msg=name,
+        )
+
+
+def test_lstm_seq_train_bf16_interface():
+    """bf16 xproj/w_hh (the trainer's compute policy): runs, outputs bf16,
+    gradients finite and near the fp32 path."""
+    from video_captioning_tpu.ops.lstm_seq_pallas import lstm_seq_train
+
+    B, T, H, ND = 4, 6, 16, 2
+    rs = np.random.RandomState(4)
+    xproj32 = jnp.asarray(rs.randn(T, ND, B, 4 * H).astype(np.float32) * 0.5)
+    w32 = jnp.asarray(rs.randn(ND, H, 4 * H).astype(np.float32) * 0.2)
+    mask = jnp.ones((B, T), jnp.float32)
+    probes = tuple(
+        jnp.asarray(rs.randn(*s).astype(np.float32))
+        for s in [(T, ND, B, H), (ND, B, H), (ND, B, H)]
+    )
+
+    kern = lambda xp, w, m: lstm_seq_train(xp, w, m, 4, True)
+    loss = _seq_loss(kern, probes)
+    g32 = jax.grad(loss, argnums=(0, 1))(xproj32, w32, mask)
+    outs16, _ = kern(xproj32.astype(jnp.bfloat16), w32.astype(jnp.bfloat16), mask)
+    assert outs16.dtype == jnp.bfloat16
+    g16 = jax.grad(loss, argnums=(0, 1))(
+        xproj32.astype(jnp.bfloat16), w32.astype(jnp.bfloat16), mask
+    )
+    for a, b in zip(g16, g32):
+        assert a.dtype == jnp.bfloat16
+        assert bool(jnp.isfinite(a.astype(jnp.float32)).all())
+        np.testing.assert_allclose(
+            np.asarray(a, dtype=np.float32), np.asarray(b),
+            rtol=0.1, atol=0.1 * float(np.abs(np.asarray(b)).max()),
+        )
+
+
+def test_encoder_train_kernel_grads_match_scan(tiny_config):
+    """apply_encoder with the training kernel enabled: loss gradients wrt
+    the encoder params match the lax.scan path (ragged mask, train=True)."""
+    from video_captioning_tpu.models.encoder import apply_encoder, init_encoder
+
+    cfg = tiny_config
+    params = init_encoder(jax.random.PRNGKey(0), cfg)
+    feats = jax.random.normal(
+        jax.random.PRNGKey(1), (4, 10, cfg.model.cnn_feature_dim)
+    )
+    mask = np.ones((4, 10), np.float32)
+    mask[1, 7:] = 0
+    mask = jnp.asarray(mask)
+    rng = jax.random.PRNGKey(7)
+
+    def loss(p):
+        enc, fin = apply_encoder(p, cfg, feats, mask, train=True, rng=rng)
+        return jnp.sum(enc**2) + jnp.sum(fin**2)
+
+    g_ref = jax.grad(loss)(params)
+    cfg.kernels.use_pallas_lstm_seq_train = True
+    cfg.kernels.interpret = True
+    try:
+        g_kern = jax.grad(loss)(params)
+    finally:
+        cfg.kernels.use_pallas_lstm_seq_train = False
+        cfg.kernels.interpret = False
+
+    flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
+    flat_kern = jax.tree_util.tree_leaves(g_kern)
+    for (path, r), k in zip(flat_ref, flat_kern):
+        scale = max(float(np.abs(np.asarray(r)).max()), 1e-3)
+        np.testing.assert_allclose(
+            np.asarray(k), np.asarray(r), rtol=3e-2, atol=3e-2 * scale,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
 def test_encoder_seq_kernel_path_matches_scan(tiny_config):
     """apply_encoder routed through the seq kernel (interpret mode) agrees
     with the lax.scan path end-to-end, ragged mask included."""

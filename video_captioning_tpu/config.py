@@ -162,6 +162,14 @@ class KernelConfig:
     # lax.scan). Measured +2.1% e2e beam-5 with bit-identical tokens
     # (docs/PERFORMANCE.md).
     use_pallas_lstm_seq: bool = True
+    # Training-path variant of the same kernel with a custom VJP: the
+    # backward sweep also runs as one Pallas kernel (recurrent weights and
+    # the dW_hh accumulator VMEM-resident across all T reverse steps),
+    # replacing XLA's reverse scan + residual dynamic-slices
+    # (ops/lstm_seq_pallas.py:lstm_seq_train). Measured on one v5e chip at
+    # B=256: training fwd+bwd+adam 7772 -> 9230 clips/s bf16 (+18.8%),
+    # 5043 -> 6266 fp32 (+24.3%) — docs/PERFORMANCE.md.
+    use_pallas_lstm_seq_train: bool = True
     # Fused vocab-projection + top-k + logsumexp in the beam loop
     # (ops/vocab_topk_pallas.py): TPU-only. Measured parity with the
     # hierarchical XLA path at reference shapes (9161 vs 9183 clips/s,

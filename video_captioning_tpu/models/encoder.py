@@ -91,28 +91,50 @@ def apply_encoder(
             lambda a, b: jnp.stack([a, b]), layer["fwd"], layer["bwd"]
         )
         xs2 = jnp.stack([x, x_rev])  # (2, B, T, in)
+        on_pallas_backend = (
+            jax.default_backend() == "tpu" or config.kernels.interpret
+        )
         use_seq_kernel = (
             config.kernels.use_pallas_lstm_seq
-            and not train  # no custom VJP — training keeps lax.scan
+            and not train  # eval path: no residuals written
             and x.dtype == jnp.float32
-            and (jax.default_backend() == "tpu" or config.kernels.interpret)
+            and on_pallas_backend
         )
-        if use_seq_kernel:
+        use_seq_train_kernel = (
+            config.kernels.use_pallas_lstm_seq_train
+            and train
+            and x.dtype in (jnp.float32, jnp.bfloat16)
+            and on_pallas_backend
+        )
+        if use_seq_kernel or use_seq_train_kernel:
             # Whole recurrence in one Pallas kernel: recurrent weights
             # VMEM-resident across all T steps, no per-step update-slices
             # (ops/lstm_seq_pallas.py). Input projections hoisted here,
-            # identical to lstm_scan's hoist.
-            from ..ops.lstm_seq_pallas import lstm_seq_pallas
+            # identical to lstm_scan's hoist. The training variant pairs it
+            # with a Pallas backward sweep via jax.custom_vjp.
+            from ..ops.lstm_seq_pallas import lstm_seq_pallas, lstm_seq_train
 
             xproj = jnp.einsum(
                 "dbti,dio->dbto", xs2, stacked_layer["w_ih"]
             ) + (stacked_layer["b_ih"] + stacked_layer["b_hh"])[:, None, None, :]
-            outs_t, (h_last2, c_last2) = lstm_seq_pallas(
-                jnp.transpose(xproj, (2, 0, 1, 3)),  # (T, 2, B, 4H)
-                stacked_layer["w_hh"],
-                video_mask,
-                interpret=config.kernels.interpret,
-            )
+            xproj_t = jnp.transpose(xproj, (2, 0, 1, 3))  # (T, 2, B, 4H)
+            if use_seq_train_kernel:
+                mask_bt = (
+                    jnp.ones((x.shape[0], x.shape[1]), jnp.float32)
+                    if video_mask is None
+                    else video_mask.astype(jnp.float32)
+                )
+                outs_t, (h_last2, c_last2) = lstm_seq_train(
+                    xproj_t, stacked_layer["w_hh"], mask_bt,
+                    128, config.kernels.interpret,
+                )
+            else:
+                outs_t, (h_last2, c_last2) = lstm_seq_pallas(
+                    xproj_t,
+                    stacked_layer["w_hh"],
+                    video_mask,
+                    interpret=config.kernels.interpret,
+                )
             outs2 = jnp.transpose(outs_t, (1, 2, 0, 3))  # (2, B, T, H)
         else:
             outs2, (h_last2, c_last2) = jax.vmap(
