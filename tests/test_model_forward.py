@@ -170,3 +170,132 @@ def test_attention_score_bf16_close_to_fp32(tiny_config, params):
     np.testing.assert_allclose(np.asarray(ctx), np.asarray(ctx_ref), rtol=5e-2, atol=5e-2)
     np.testing.assert_allclose(np.asarray(w), np.asarray(w_ref), rtol=5e-2, atol=5e-2)
     np.testing.assert_allclose(np.asarray(ctx_b[:, 0]), np.asarray(ctx), rtol=1e-5, atol=1e-5)
+
+
+# --------------------------------------------------------------------------
+# Hoisted teacher-forcing scan (decoder.py:apply_decoder): equivalence to a
+# per-step decoder_core_step loop, and remat_attention value-invariance.
+# --------------------------------------------------------------------------
+
+
+def _stepwise_decoder(params, config, enc, fin, tokens, mask, *, train, rng):
+    """Oracle: the pre-hoist apply_decoder semantics, built from the still-
+    shipping decoder_core_step (used by the greedy/beam step paths)."""
+    from video_captioning_tpu.models import attention as attn_mod
+    from video_captioning_tpu.models import decoder as dec_mod
+    from video_captioning_tpu.models.layers import apply_embedding, apply_linear, dropout
+
+    B, T = tokens.shape
+    state = dec_mod.init_hidden_state(params, config, fin)
+    embedded_all = apply_embedding(params["embedding"], tokens)
+    if train and rng is not None:
+        emb_rng, rng = jax.random.split(rng)
+        embedded_all = dropout(
+            embedded_all, config.model.decoder_dropout, emb_rng, train
+        )
+    cache = (
+        attn_mod.precompute(config, params["attention"], enc)
+        if config.model.use_attention
+        else {}
+    )
+    outs, weights = [], []
+    for t in range(T):
+        step_rng = (
+            jax.random.fold_in(rng, t) if (train and rng is not None) else None
+        )
+        pre_vocab, state, w = dec_mod.decoder_core_step(
+            params, config, embedded_all[:, t], state, enc, cache, mask,
+            train=train, rng=step_rng,
+        )
+        outs.append(pre_vocab)
+        weights.append(w)
+    logits = apply_linear(params["output_projection"], jnp.stack(outs, axis=1))
+    return logits, (jnp.stack(weights, axis=1) if weights[0] is not None else None)
+
+
+@pytest.mark.parametrize("attn_type", ["bahdanau", "luong", "multihead"])
+@pytest.mark.parametrize("train", [False, True])
+def test_apply_decoder_matches_stepwise(tiny_config, attn_type, train):
+    """The hoisted scan (embedding gate-projection + deep-output head moved
+    out of the loop) reproduces per-step decoder_core_step semantics —
+    values, attention weights, and gradients (same dropout streams)."""
+    from video_captioning_tpu.models import decoder as dec_mod
+
+    cfg = tiny_config
+    cfg.model.attention_type = attn_type
+    params = dec_mod.init_decoder(jax.random.PRNGKey(3), cfg, VOCAB)
+    B, S, T = 3, 10, 6
+    enc = jax.random.normal(jax.random.PRNGKey(1), (B, S, cfg.model.encoder_hidden_dim))
+    fin = jax.random.normal(jax.random.PRNGKey(2), (B, cfg.model.encoder_hidden_dim))
+    tokens = jax.random.randint(jax.random.PRNGKey(4), (B, T), 0, VOCAB)
+    mask = np.ones((B, S), np.float32)
+    mask[1, 7:] = 0
+    mask = jnp.asarray(mask)
+    rng = jax.random.PRNGKey(42) if train else None
+
+    def loss_new(p):
+        out = dec_mod.apply_decoder(
+            p, cfg, enc, fin, tokens, mask, train=train, rng=rng
+        )
+        return jnp.sum(out["logits"] ** 2), out
+
+    def loss_ref(p):
+        logits, w = _stepwise_decoder(
+            p, cfg, enc, fin, tokens, mask, train=train, rng=rng
+        )
+        return jnp.sum(logits**2), (logits, w)
+
+    (_, out), g_new = jax.value_and_grad(loss_new, has_aux=True)(params)
+    (_, (logits_ref, w_ref)), g_ref = jax.value_and_grad(loss_ref, has_aux=True)(params)
+
+    np.testing.assert_allclose(
+        np.asarray(out["logits"]), np.asarray(logits_ref), rtol=2e-5, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["attention_weights"]), np.asarray(w_ref), rtol=1e-5, atol=1e-6
+    )
+    gscale = max(
+        float(jnp.abs(leaf).max()) for leaf in jax.tree_util.tree_leaves(g_ref)
+    )
+    for (path, a), b in zip(
+        jax.tree_util.tree_leaves_with_path(g_new), jax.tree_util.tree_leaves(g_ref)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-5, atol=1e-6 * gscale,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
+def test_remat_attention_is_value_invariant(tiny_config):
+    """training.remat_attention changes residual staging only — logits and
+    gradients are bitwise identical with it on or off."""
+    from video_captioning_tpu.models import decoder as dec_mod
+
+    cfg = tiny_config
+    params = dec_mod.init_decoder(jax.random.PRNGKey(3), cfg, VOCAB)
+    B, S, T = 3, 10, 6
+    enc = jax.random.normal(jax.random.PRNGKey(1), (B, S, cfg.model.encoder_hidden_dim))
+    fin = jax.random.normal(jax.random.PRNGKey(2), (B, cfg.model.encoder_hidden_dim))
+    tokens = jax.random.randint(jax.random.PRNGKey(4), (B, T), 0, VOCAB)
+    rng = jax.random.PRNGKey(42)
+
+    def run():
+        def loss(p):
+            out = dec_mod.apply_decoder(
+                p, cfg, enc, fin, tokens, None, train=True, rng=rng
+            )
+            return jnp.sum(out["logits"] ** 2)
+
+        return jax.value_and_grad(loss)(params)
+
+    assert cfg.training.remat_attention is True
+    l_on, g_on = run()
+    cfg.training.remat_attention = False
+    try:
+        l_off, g_off = run()
+    finally:
+        cfg.training.remat_attention = True
+
+    assert float(l_on) == float(l_off)
+    for a, b in zip(jax.tree_util.tree_leaves(g_on), jax.tree_util.tree_leaves(g_off)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

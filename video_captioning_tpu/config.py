@@ -115,6 +115,11 @@ class TrainingConfig:
     # consecutive bad steps (0 disables). The reference has no failure
     # detection at all (SURVEY §5).
     max_bad_steps: int = 3
+    # Rematerialize the per-step (B, S, A) attention-score tensor in the
+    # backward pass instead of staging it as a scan residual (~420 MB of
+    # HBM write+read per step at reference scale for ~35 µs of recompute;
+    # values and gradients unchanged — models/decoder.py:apply_decoder).
+    remat_attention: bool = True
 
 
 @dataclass

@@ -16,11 +16,15 @@ Capability parity with reference src/models/decoder.py:10-289:
   created once at init.
 
 TPU-native structure: teacher forcing is a single ``lax.scan`` over the
-caption length. Three reference-equivalent hoists keep the MXU busy:
-token embeddings are gathered for all T steps up front, the attention's
-encoder-side projections are precomputed once (see ``models.attention``),
-and the (H→V) vocab projection runs once over the stacked ``(B·T, H)``
-deep-output states instead of T small per-step matmuls.
+caption length. Reference-equivalent hoists keep the MXU busy: token
+embeddings are gathered for all T steps up front, the embedding slice of
+layer-1's input projection runs as one big matmul outside the scan, the
+attention's encoder-side projections are precomputed once (see
+``models.attention``), and the deep-output head + (H→V) vocab projection
+run once over the stacked ``(B·T, ·)`` states instead of T small per-step
+matmuls. Under training, ``training.remat_attention`` rematerializes the
+(B, S, A) attention-score tensor in the backward pass instead of staging
+it per step (~420 MB of residual HBM traffic at reference scale).
 """
 
 from __future__ import annotations
@@ -33,6 +37,7 @@ import jax.numpy as jnp
 from ..config import Config
 from . import attention as attn_mod
 from .layers import (
+    _lstm_gates_tail,
     apply_embedding,
     apply_linear,
     dropout,
@@ -216,6 +221,7 @@ def apply_decoder(
     """
     B, T = target_tokens.shape
     state0 = init_hidden_state(params, config, encoder_final_state)
+    use_attention = config.model.use_attention
 
     # Hoist: embed all steps at once (one gather instead of T).
     embedded_all = apply_embedding(params["embedding"], target_tokens)  # (B, T, emb)
@@ -227,29 +233,85 @@ def apply_decoder(
 
     attn_cache = (
         attn_mod.precompute(config, params["attention"], encoder_outputs)
-        if config.model.use_attention
+        if use_attention
         else {}
     )
 
+    # Hoist: the embedding slice of layer-1's input projection for every
+    # step — one (B·T, emb)×(emb, 4H) MXU matmul outside the scan instead
+    # of T in-scan slices of it. Only the context slice (which depends on
+    # the previous step's attention) stays in the loop.
+    lstm_layers = params["lstm"]
+    l1 = lstm_layers[0]
+    emb_dim = embedded_all.shape[-1]
+    emb_gates_all = (
+        jnp.einsum("bte,eg->btg", embedded_all, l1["w_ih"][:emb_dim])
+        + l1["b_ih"] + l1["b_hh"]
+    )  # (B, T, 4H)
+    w_ctx = l1["w_ih"][emb_dim:]  # (E, 4H); empty without attention
+    p_drop = config.model.decoder_dropout
+    n_layers = len(lstm_layers)
+
+    def attn_step(top_hidden, step_rng):
+        return attn_mod.attend(
+            config, params["attention"], attn_cache, encoder_outputs,
+            top_hidden, encoder_mask, train=train, rng=step_rng,
+        )
+
+    if use_attention and train and config.training.remat_attention:
+        # Recompute the (B, S, A) score tensor in the backward pass instead
+        # of staging it per step — ~420 MB of residual HBM traffic at the
+        # reference scale (profiled; docs/PERFORMANCE.md) for ~35 µs/step
+        # of recompute. Values and gradients are unchanged.
+        attn_step = jax.checkpoint(attn_step)
+
     def step(carry, inp):
         state, step_idx = carry
-        emb_t = inp  # (B, emb)
+        emb_gates_t = inp  # (B, 4H)
+        h_prev, c_prev = state
         step_rng = (
             jax.random.fold_in(rng, step_idx) if (train and rng is not None) else None
         )
-        pre_vocab, new_state, weights = decoder_core_step(
-            params, config, emb_t, state, encoder_outputs, attn_cache,
-            encoder_mask, train=train, rng=step_rng,
-        )
-        if weights is None:
-            weights = jnp.zeros((B, encoder_outputs.shape[1]), pre_vocab.dtype)
-        return (new_state, step_idx + 1), (pre_vocab, weights)
+        r_attn = r_lstm = None
+        if step_rng is not None:
+            r_attn, r_lstm = jax.random.split(step_rng)
 
-    (_, _), (pre_vocab_seq, weights_seq) = jax.lax.scan(
-        step, (state0, jnp.int32(0)), jnp.swapaxes(embedded_all, 0, 1)
+        if use_attention:
+            context, weights = attn_step(h_prev[-1], r_attn)
+            gates1 = emb_gates_t + context @ w_ctx + h_prev[0] @ l1["w_hh"]
+        else:
+            context = jnp.zeros((B, 0), emb_gates_t.dtype)
+            weights = jnp.zeros((B, encoder_outputs.shape[1]), emb_gates_t.dtype)
+            gates1 = emb_gates_t + h_prev[0] @ l1["w_hh"]
+        h_top, c1 = _lstm_gates_tail(gates1, c_prev[0])
+        hs, cs = [h_top], [c1]
+        for l in range(1, n_layers):
+            inp_l = hs[-1]
+            if train and rng is not None:
+                # Same stream as _lstm_stack_step: key fold_in(r_lstm, l-1)
+                # between layers l-1 and l.
+                inp_l = dropout(inp_l, p_drop, jax.random.fold_in(r_lstm, l - 1), train)
+            h_l, c_l = lstm_cell(lstm_layers[l], inp_l, h_prev[l], c_prev[l])
+            hs.append(h_l)
+            cs.append(c_l)
+            h_top = h_l
+        new_state = (jnp.stack(hs), jnp.stack(cs))
+        return (new_state, step_idx + 1), (h_top, context, weights)
+
+    (_, _), (top_seq, context_seq, weights_seq) = jax.lax.scan(
+        step, (state0, jnp.int32(0)), jnp.swapaxes(emb_gates_all, 0, 1)
     )
-    pre_vocab_seq = jnp.swapaxes(pre_vocab_seq, 0, 1)  # (B, T, H)
+    top_seq = jnp.swapaxes(top_seq, 0, 1)          # (B, T, H)
+    context_seq = jnp.swapaxes(context_seq, 0, 1)  # (B, T, E)
     weights_seq = jnp.swapaxes(weights_seq, 0, 1)  # (B, T, S)
+
+    # Hoist: the deep-output head runs once over all stacked steps — the
+    # (B·T, ·) context-projection and tanh replace T small in-scan ones.
+    if use_attention:
+        deep_in = jnp.concatenate([top_seq, context_seq, embedded_all], axis=-1)
+        pre_vocab_seq = jnp.tanh(apply_linear(params["context_projection"], deep_in))
+    else:
+        pre_vocab_seq = top_seq
 
     # Hoist: one (B·T, H)@(H, V) matmul instead of T small ones.
     logits = apply_linear(params["output_projection"], pre_vocab_seq)
