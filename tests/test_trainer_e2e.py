@@ -321,3 +321,78 @@ def test_predictor_buckets_ragged_batches(synthetic_setup, tmp_path):
         predictor.predict_batch(feats[:n], method="greedy", max_length=6)
     greedy_fn = predictor._gen_cache[("greedy", 6, 5, 1.0)]
     assert greedy_fn._cache_size() == 1
+
+
+def test_grad_accum_matches_full_batch(synthetic_setup):
+    """grad_accum_steps=2 produces the same post-step params as a single
+    full-batch step when dropout is off and no caption is padded (the
+    per-micro-batch token means then average to the global mean)."""
+    import copy
+
+    import jax.numpy as jnp
+
+    cfg, vocab, params, train_loader, val_loader = synthetic_setup
+    cfg = copy.deepcopy(cfg)
+    cfg.model.encoder_dropout = 0.0
+    cfg.model.decoder_dropout = 0.0
+    cfg.validate()
+
+    batch = {
+        "video_features": jnp.asarray(
+            np.random.RandomState(1).randn(
+                4, cfg.data.frames_per_video, cfg.model.cnn_feature_dim
+            ),
+            jnp.float32,
+        ),
+        # uniform-length, no PAD: micro-mean == global mean
+        "input_tokens": jnp.asarray(
+            np.random.RandomState(2).randint(4, len(vocab), (4, 6)), jnp.int32
+        ),
+        "target_tokens": jnp.asarray(
+            np.random.RandomState(3).randint(4, len(vocab), (4, 6)), jnp.int32
+        ),
+    }
+
+    def one_step(accum):
+        c = copy.deepcopy(cfg)
+        c.training.grad_accum_steps = accum
+        # device_put can alias the shared `params` tree; donation would
+        # delete it between the accum=1 and accum=2 runs.
+        c.training.donate_state = False
+        # SGD: the update is linear in the gradient, so the comparison
+        # measures gradient agreement (adam's m/(sqrt(v)+eps) normalizes
+        # near-zero grads to ±lr and amplifies reduction-order noise).
+        c.training.optimizer = "sgd"
+        c.training.scheduler = "none"
+        c.validate()
+        tr = VideoCaptioningTrainer(
+            params, c, vocab, train_loader, val_loader, mesh=_mesh4(c)
+        )
+        rng = jax.random.PRNGKey(123)
+        new_params, _, loss = tr._train_step(tr.params, tr.opt_state, batch, rng)
+        return new_params, float(loss)
+
+    p1, l1 = one_step(1)
+    p2, l2 = one_step(2)
+    # Differences are reduction-order only (micro-batch partial sums).
+    assert abs(l1 - l2) < 2e-4, (l1, l2)
+    for (path, a), b in zip(
+        jax.tree_util.tree_leaves_with_path(p1), jax.tree_util.tree_leaves(p2)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
+def test_grad_accum_validation():
+    from video_captioning_tpu.config import Config
+
+    cfg = Config()
+    cfg.training.batch_size = 32
+    cfg.training.grad_accum_steps = 5  # 32 % 5 != 0
+    with pytest.raises(ValueError):
+        cfg.validate()
+    cfg.training.grad_accum_steps = 0
+    with pytest.raises(ValueError):
+        cfg.validate()

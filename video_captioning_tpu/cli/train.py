@@ -42,6 +42,9 @@ def build_parser() -> argparse.ArgumentParser:
                         choices=["native", "orbax"],
                         help="Checkpoint backend override")
     parser.add_argument("--profile-dir", type=str, help="Write a jax.profiler trace here")
+    parser.add_argument("--grad-accum-steps", type=int,
+                        help="Micro-batches per optimizer update "
+                        "(batch_size must divide evenly)")
     return parser
 
 
@@ -80,6 +83,8 @@ def main(argv=None) -> None:
         config.training.freeze_encoder = True
     if args.checkpoint_backend:
         config.experiment.checkpoint_backend = args.checkpoint_backend
+    if args.grad_accum_steps is not None:
+        config.training.grad_accum_steps = args.grad_accum_steps
 
     config.data.captions_file = Path(args.data_file)
     config.experiment.checkpoint_dir = Path(args.checkpoint_dir)

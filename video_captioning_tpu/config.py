@@ -120,6 +120,14 @@ class TrainingConfig:
     # HBM write+read per step at reference scale for ~35 µs of recompute;
     # values and gradients unchanged — models/decoder.py:apply_decoder).
     remat_attention: bool = True
+    # Gradient accumulation: split each loader batch into this many
+    # micro-batches inside the jitted step (lax.scan), average the
+    # gradients, apply ONE optimizer update. Scales effective batch size
+    # past HBM limits without touching the input pipeline; batch_size must
+    # be divisible by it. Note the reference-parity loss is a per-batch
+    # token mean, so with ragged captions the accumulated mean weights
+    # micro-batches equally rather than by token count (standard behavior).
+    grad_accum_steps: int = 1
 
 
 @dataclass
@@ -251,6 +259,13 @@ class Config:
             raise ValueError(
                 f"context_axis {self.parallel.context_axis!r} is not one of "
                 f"axis_names {self.parallel.axis_names}"
+            )
+        if self.training.grad_accum_steps < 1:
+            raise ValueError("grad_accum_steps must be >= 1")
+        if self.training.batch_size % self.training.grad_accum_steps != 0:
+            raise ValueError(
+                f"batch_size={self.training.batch_size} must be divisible by "
+                f"grad_accum_steps={self.training.grad_accum_steps}"
             )
 
     def ensure_dirs(self) -> None:

@@ -186,8 +186,42 @@ class VideoCaptioningTrainer:
                 out["logits"], batch["target_tokens"], pad_idx, ls
             )
 
+        accum = config.training.grad_accum_steps
+
         def train_step(params, opt_state, batch, rng):
-            loss, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
+            if accum > 1:
+                # Micro-batch the loader batch inside the jitted step:
+                # lax.scan over (accum, B/accum, ...) slices, mean the
+                # gradients, ONE optimizer update. Residency per
+                # micro-step shrinks by accum while the update sees the
+                # full effective batch.
+                micro = jax.tree_util.tree_map(
+                    lambda x: x.reshape(
+                        (accum, x.shape[0] // accum) + x.shape[1:]
+                    ),
+                    batch,
+                )
+
+                def body(carry, inp):
+                    g_acc, l_acc, i = carry
+                    mb = inp
+                    l, g = jax.value_and_grad(loss_fn)(
+                        params, mb, jax.random.fold_in(rng, i)
+                    )
+                    g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
+                    return (g_acc, l_acc + l, i + 1), None
+
+                zeros = jax.tree_util.tree_map(
+                    lambda p: jnp.zeros(p.shape, jnp.float32), params
+                )
+                (g_sum, l_sum, _), _ = jax.lax.scan(
+                    body, (zeros, jnp.float32(0.0), jnp.int32(0)), micro
+                )
+                inv = jnp.float32(1.0 / accum)
+                grads = jax.tree_util.tree_map(lambda g: g * inv, g_sum)
+                loss = l_sum * inv
+            else:
+                loss, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
             updates, new_opt_state = tx.update(grads, opt_state, params)
             new_params = optax.apply_updates(params, updates)
             return new_params, new_opt_state, loss
