@@ -460,3 +460,38 @@ def test_encoder_seq_kernel_path_matches_scan(tiny_config):
         cfg.kernels.interpret = False
     np.testing.assert_allclose(np.asarray(enc), np.asarray(enc_ref), rtol=2e-2, atol=2e-2)
     np.testing.assert_allclose(np.asarray(fin), np.asarray(fin_ref), rtol=2e-2, atol=2e-2)
+
+
+def test_lstm_seq_kernel_bf16_inputs():
+    """bf16 xproj (the serving policy): kernel runs, outputs bf16, and the
+    fp32-state recurrence stays close to the fp32 kernel result (the bf16
+    path's state is fp32 in-kernel — better than a bf16 lax.scan's)."""
+    from video_captioning_tpu.ops.lstm_seq_pallas import lstm_seq_pallas
+
+    B, T, H, ND = 8, 10, 16, 2
+    rs = np.random.RandomState(5)
+    xproj = jnp.asarray(rs.randn(T, ND, B, 4 * H).astype(np.float32) * 0.5)
+    w_hh = jnp.asarray(rs.randn(ND, H, 4 * H).astype(np.float32) * 0.2)
+    mask = np.ones((B, T), np.float32)
+    mask[3, 6:] = 0
+    mask = jnp.asarray(mask)
+
+    outs32, (h32, c32) = lstm_seq_pallas(xproj, w_hh, mask, interpret=True)
+    outs16, (h16, c16) = lstm_seq_pallas(
+        xproj.astype(jnp.bfloat16), w_hh.astype(jnp.bfloat16), mask,
+        interpret=True,
+    )
+    assert outs16.dtype == jnp.bfloat16
+    assert h16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(outs16, np.float32), np.asarray(outs32),
+        rtol=5e-2, atol=5e-2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(h16, np.float32), np.asarray(h32), rtol=5e-2, atol=5e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(c16, np.float32), np.asarray(c32), rtol=5e-2, atol=5e-2
+    )
+    # Zero outputs past each row's length survive the bf16 path bitwise.
+    assert float(jnp.abs(outs16[6:, :, 3]).max()) == 0.0

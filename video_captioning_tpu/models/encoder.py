@@ -97,7 +97,7 @@ def apply_encoder(
         use_seq_kernel = (
             config.kernels.use_pallas_lstm_seq
             and not train  # eval path: no residuals written
-            and x.dtype == jnp.float32
+            and x.dtype in (jnp.float32, jnp.bfloat16)
             and on_pallas_backend
         )
         use_seq_train_kernel = (

@@ -47,13 +47,13 @@ Array = jax.Array
 
 
 def _kernel(
-    xproj_ref,   # (1, ND, BM, 4H) f32 — this step's input projections (+biases)
+    xproj_ref,   # (1, ND, BM, 4H) — this step's input projections (+biases)
     w_ref,       # (ND, H, 4H) bf16 — recurrent weights, resident across steps
     mask_ref,    # (BM, T) f32 — full row-tile mask (1 = valid)
-    out_ref,     # (1, ND, BM, H) f32 out — this step's hidden output
-    h_last_ref,  # (ND, BM, H) f32 out — final state (written at t == T-1)
-    c_last_ref,  # (ND, BM, H) f32 out
-    h_scr,       # (ND, BM, H) f32 scratch
+    out_ref,     # (1, ND, BM, H) out — this step's hidden output
+    h_last_ref,  # (ND, BM, H) out — final state (written at t == T-1)
+    c_last_ref,  # (ND, BM, H) out
+    h_scr,       # (ND, BM, H) f32 scratch — state stays fp32 in any dtype
     c_scr,       # (ND, BM, H) f32 scratch
     *,
     nd: int,
@@ -68,7 +68,7 @@ def _kernel(
     h = h_scr[:]
     c = c_scr[:]
     # Per-direction recurrent matmul (weights differ per direction).
-    gates = xproj_ref[0]  # (ND, BM, 4H)
+    gates = xproj_ref[0].astype(jnp.float32)  # (ND, BM, 4H)
     recur = jnp.stack(
         [
             jnp.dot(
@@ -94,16 +94,17 @@ def _kernel(
     c_keep = jnp.where(m > 0, c_new, c)
     h_scr[:] = h_keep
     c_scr[:] = c_keep
-    out_ref[0] = jnp.where(m > 0, h_new, jnp.zeros_like(h_new))
+    out_dtype = out_ref.dtype
+    out_ref[0] = jnp.where(m > 0, h_new, jnp.zeros_like(h_new)).astype(out_dtype)
 
     @pl.when(t == pl.num_programs(1) - 1)
     def _():
-        h_last_ref[:] = h_keep
-        c_last_ref[:] = c_keep
+        h_last_ref[:] = h_keep.astype(out_dtype)
+        c_last_ref[:] = c_keep.astype(out_dtype)
 
 
 def lstm_seq_pallas(
-    xproj: Array,             # (T, ND, B, 4H) input projections + biases, f32
+    xproj: Array,             # (T, ND, B, 4H) input projections + biases
     w_hh: Array,              # (ND, H, 4H)
     mask: Optional[Array],    # (B, T) 1=valid, or None
     block_b: int = 128,
@@ -111,9 +112,14 @@ def lstm_seq_pallas(
 ) -> Tuple[Array, Tuple[Array, Array]]:
     """Full LSTM recurrence over T steps for ND direction-stacked rows.
 
+    Accepts fp32 or bf16 ``xproj``; the carried (h, c) state accumulates in
+    fp32 either way and outputs match ``xproj.dtype`` (under the bf16
+    serving policy this is *better* state precision than the bf16
+    ``lax.scan`` it replaces).
     Returns (outputs (T, ND, B, H), (h_last, c_last) each (ND, B, H)).
     """
     T, ND, B, H4 = xproj.shape
+    dt = xproj.dtype
     H = H4 // 4
     if B % block_b != 0:
         block_b = 8 if B % 8 == 0 else 1
@@ -144,9 +150,9 @@ def lstm_seq_pallas(
             pl.BlockSpec((ND, block_b, H), lambda i, t: (0, i, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((T, ND, B, H), jnp.float32),
-            jax.ShapeDtypeStruct((ND, B, H), jnp.float32),
-            jax.ShapeDtypeStruct((ND, B, H), jnp.float32),
+            jax.ShapeDtypeStruct((T, ND, B, H), dt),
+            jax.ShapeDtypeStruct((ND, B, H), dt),
+            jax.ShapeDtypeStruct((ND, B, H), dt),
         ),
         scratch_shapes=[
             pltpu.VMEM((ND, block_b, H), jnp.float32),
