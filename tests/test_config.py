@@ -70,3 +70,37 @@ def test_unknown_key_rejected(tmp_path):
     p.write_text(json.dumps({"model": {"nonexistent": 1}}))
     with pytest.raises(KeyError):
         Config.from_file(p)
+
+
+def test_compilation_cache_roundtrip_and_enable(tmp_path):
+    """compilation_cache_dir survives to_dict/from_dict, and enabling it
+    makes JAX write serialized executables into the directory."""
+    import jax
+    import jax.numpy as jnp
+
+    from video_captioning_tpu.config import Config
+    from video_captioning_tpu.utils.compile_cache import (
+        enable_compilation_cache,
+        maybe_enable_from_config,
+    )
+
+    cache = tmp_path / "xla_cache"
+    cfg = Config()
+    cfg.experiment.compilation_cache_dir = cache
+    cfg2 = Config.from_dict(cfg.to_dict())
+    assert cfg2.experiment.compilation_cache_dir == cache
+
+    assert maybe_enable_from_config(cfg2) is True
+    assert enable_compilation_cache(cache) is True  # idempotent
+
+    @jax.jit
+    def f(x):
+        return jnp.sum(jnp.tanh(x) * 3.0) + jnp.sum(x**2)
+
+    float(f(jnp.arange(1024.0)))
+    files = list(cache.rglob("*"))
+    assert files, "compilation cache directory stayed empty"
+
+    # Off by default, and None is a no-op.
+    assert Config().experiment.compilation_cache_dir is None
+    assert maybe_enable_from_config(Config()) is False

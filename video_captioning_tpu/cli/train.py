@@ -91,6 +91,10 @@ def main(argv=None) -> None:
     config.validate()
     config.ensure_dirs()
 
+    from ..utils.compile_cache import maybe_enable_from_config
+
+    maybe_enable_from_config(config)
+
     import jax
 
     from ..data.pipeline import create_data_loaders, prepare_data

@@ -218,6 +218,11 @@ class ExperimentConfig:
     output_dir: Path = Path("outputs")
     predictions_file: Path = Path("outputs/predictions.json")
 
+    # Persistent XLA compilation cache (jax_compilation_cache_dir). First
+    # compile of the beam program is tens of seconds at production scale;
+    # with a warm cache, serving/training restarts skip it. None = off.
+    compilation_cache_dir: Optional[Path] = None
+
 
 @dataclass
 class Config:
@@ -330,7 +335,7 @@ class Config:
 _PATH_FIELDS = {
     "data_root", "video_dir", "features_dir", "captions_file",
     "checkpoint_dir", "best_model_path", "output_dir", "predictions_file",
-    "profile_dir",
+    "profile_dir", "compilation_cache_dir",
 }
 
 _TUPLE_FIELDS = {"img_size", "axis_names"}

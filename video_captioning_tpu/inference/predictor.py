@@ -75,6 +75,12 @@ class VideoCaptionPredictor:
         else:
             self.config = Config.from_dict(package["model_config"])
 
+        # Warm-start serving: reuse serialized XLA executables across
+        # process restarts when the config points at a persistent cache.
+        from ..utils.compile_cache import maybe_enable_from_config
+
+        maybe_enable_from_config(self.config)
+
         vocab_data = package["vocabulary"]
         self.vocabulary = Vocabulary(self.config)
         self.vocabulary.word2idx = dict(vocab_data["word2idx"])
