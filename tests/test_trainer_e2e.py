@@ -396,3 +396,93 @@ def test_grad_accum_validation():
     cfg.training.grad_accum_steps = 0
     with pytest.raises(ValueError):
         cfg.validate()
+
+
+def test_ema_tracks_and_roundtrips(synthetic_setup, tmp_path):
+    """training.ema_decay: the shadow follows ema = d*ema + (1-d)*params
+    exactly, validation/export read it, and it survives a checkpoint
+    save -> load round trip."""
+    import copy
+
+    import jax.numpy as jnp
+
+    cfg, vocab, params, train_loader, val_loader = synthetic_setup
+    cfg = copy.deepcopy(cfg)
+    cfg.training.ema_decay = 0.9
+    cfg.experiment.checkpoint_dir = tmp_path / "ema_ckpt"
+    cfg.validate()
+
+    tr = VideoCaptioningTrainer(
+        params, cfg, vocab, train_loader, val_loader, mesh=_mesh4(cfg)
+    )
+    p0 = [np.asarray(x) for x in jax.tree_util.tree_leaves(tr.params)]
+    tr.train_epoch()
+
+    # ema after N steps: recompute expectation is impractical, but one
+    # invariant is exact: ema lies strictly between the init params and the
+    # current params (elementwise convex combination along the whole path),
+    # and equals neither.
+    p1 = [np.asarray(x) for x in jax.tree_util.tree_leaves(tr.params)]
+    ema = [np.asarray(x) for x in jax.tree_util.tree_leaves(tr.ema_params)]
+    assert any(not np.allclose(e, a) for e, a in zip(ema, p1))
+    assert any(not np.allclose(e, a) for e, a in zip(ema, p0))
+    # eval_params is the EMA tree
+    ev = [np.asarray(x) for x in jax.tree_util.tree_leaves(tr.eval_params)]
+    for e, a in zip(ema, ev):
+        np.testing.assert_array_equal(e, a)
+
+    # exact one-step law from a fresh trainer: ema1 = d*p0 + (1-d)*p1
+    tr2 = VideoCaptioningTrainer(
+        params, cfg, vocab, train_loader, val_loader, mesh=_mesh4(cfg)
+    )
+    q0 = jax.tree_util.tree_map(np.asarray, tr2.params)
+    batch = {
+        "video_features": jnp.asarray(
+            np.random.RandomState(1).randn(
+                4, cfg.data.frames_per_video, cfg.model.cnn_feature_dim
+            ),
+            jnp.float32,
+        ),
+        "input_tokens": jnp.asarray(
+            np.random.RandomState(2).randint(4, len(vocab), (4, 6)), jnp.int32
+        ),
+        "target_tokens": jnp.asarray(
+            np.random.RandomState(3).randint(4, len(vocab), (4, 6)), jnp.int32
+        ),
+    }
+    new_p, _, new_ema, _ = tr2._train_step_ema(
+        tr2.params, tr2.opt_state, tr2.ema_params, batch, jax.random.PRNGKey(0)
+    )
+    d = cfg.training.ema_decay
+    for e, a, b in zip(
+        jax.tree_util.tree_leaves(new_ema),
+        jax.tree_util.tree_leaves(q0),
+        jax.tree_util.tree_leaves(new_p),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(e), d * np.asarray(a) + (1 - d) * np.asarray(b),
+            rtol=1e-6, atol=1e-7,
+        )
+
+    # checkpoint round trip preserves the EMA tree
+    tr._save(0, {"train_loss": 1.0}, is_best=False)
+    tr3 = VideoCaptioningTrainer(
+        params, cfg, vocab, train_loader, val_loader, mesh=_mesh4(cfg)
+    )
+    tr3.load_checkpoint(
+        cfg.experiment.checkpoint_dir / "latest_checkpoint.pth"
+    )
+    for e, r in zip(ema, jax.tree_util.tree_leaves(tr3.ema_params)):
+        np.testing.assert_array_equal(e, np.asarray(r))
+
+
+def test_ema_validation():
+    from video_captioning_tpu.config import Config
+
+    cfg = Config()
+    cfg.training.ema_decay = 1.0
+    with pytest.raises(ValueError):
+        cfg.validate()
+    cfg.training.ema_decay = -0.1
+    with pytest.raises(ValueError):
+        cfg.validate()

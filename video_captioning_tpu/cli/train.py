@@ -45,6 +45,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--grad-accum-steps", type=int,
                         help="Micro-batches per optimizer update "
                         "(batch_size must divide evenly)")
+    parser.add_argument("--ema-decay", type=float,
+                        help="Parameter EMA decay (e.g. 0.999); validation "
+                        "and the exported model use the averaged weights")
     return parser
 
 
@@ -85,6 +88,8 @@ def main(argv=None) -> None:
         config.experiment.checkpoint_backend = args.checkpoint_backend
     if args.grad_accum_steps is not None:
         config.training.grad_accum_steps = args.grad_accum_steps
+    if args.ema_decay is not None:
+        config.training.ema_decay = args.ema_decay
 
     config.data.captions_file = Path(args.data_file)
     config.experiment.checkpoint_dir = Path(args.checkpoint_dir)
@@ -145,7 +150,10 @@ def main(argv=None) -> None:
         logger.info(f"Best validation score: {results['best_val_score']:.4f}")
 
         manager = CheckpointManager(config.experiment.checkpoint_dir)
-        pkg = manager.save_model_for_inference(trainer.params, vocabulary, config)
+        # eval_params = the EMA shadow when training.ema_decay is on.
+        pkg = manager.save_model_for_inference(
+            trainer.eval_params, vocabulary, config
+        )
         logger.info(f"Saved inference model to: {pkg}")
 
     except KeyboardInterrupt:

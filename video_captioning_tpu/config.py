@@ -120,6 +120,12 @@ class TrainingConfig:
     # HBM write+read per step at reference scale for ~35 µs of recompute;
     # values and gradients unchanged — models/decoder.py:apply_decoder).
     remat_attention: bool = True
+    # Exponential moving average of the parameters, updated after every
+    # optimizer step (ema = d*ema + (1-d)*params). 0 disables. When on,
+    # validation, best-model selection, and the exported inference package
+    # use the EMA weights; raw weights still drive optimization and
+    # checkpoints carry both.
+    ema_decay: float = 0.0
     # Gradient accumulation: split each loader batch into this many
     # micro-batches inside the jitted step (lax.scan), average the
     # gradients, apply ONE optimizer update. Scales effective batch size
@@ -267,6 +273,8 @@ class Config:
             )
         if self.training.grad_accum_steps < 1:
             raise ValueError("grad_accum_steps must be >= 1")
+        if not (0.0 <= self.training.ema_decay < 1.0):
+            raise ValueError("ema_decay must be in [0, 1)")
         if self.training.batch_size % self.training.grad_accum_steps != 0:
             raise ValueError(
                 f"batch_size={self.training.batch_size} must be divisible by "

@@ -103,6 +103,13 @@ class VideoCaptioningTrainer:
         self.params = jax.tree_util.tree_map(jax.device_put, params, shardings)
         self.opt_state = jax.jit(self.tx.init)(self.params)
 
+        # Parameter EMA (training.ema_decay): a second tree that shadows
+        # the raw params; validation/export read it (production-standard
+        # weight averaging — absent in the reference).
+        self.ema_params = None
+        if config.training.ema_decay > 0.0:
+            self.ema_params = self._copy_tree(self.params)
+
         self.metrics = CaptionMetrics(vocabulary)
         self.checkpoint_manager = CheckpointManager(config.experiment.checkpoint_dir)
         self.orbax_manager = None
@@ -229,6 +236,28 @@ class VideoCaptioningTrainer:
         donate = (0, 1) if config.training.donate_state else ()
         self._train_step = jax.jit(train_step, donate_argnums=donate)
 
+        ema_decay = config.training.ema_decay
+        if ema_decay > 0.0:
+
+            def train_step_ema(params, opt_state, ema, batch, rng):
+                new_params, new_opt_state, loss = train_step(
+                    params, opt_state, batch, rng
+                )
+                d = jnp.float32(ema_decay)
+                new_ema = jax.tree_util.tree_map(
+                    lambda e, p: (
+                        e * d + p.astype(jnp.float32) * (1.0 - d)
+                    ).astype(e.dtype),
+                    ema,
+                    new_params,
+                )
+                return new_params, new_opt_state, new_ema, loss
+
+            self._train_step_ema = jax.jit(
+                train_step_ema,
+                donate_argnums=(0, 1, 2) if config.training.donate_state else (),
+            )
+
         def eval_loss(params, batch):
             out = captioner.apply_model(
                 cast(params),
@@ -281,9 +310,20 @@ class VideoCaptioningTrainer:
         )
         for batch_idx, device_batch in enumerate(device_batches):
             self._rng, step_rng = jax.random.split(self._rng)
-            self.params, self.opt_state, loss = self._train_step(
-                self.params, self.opt_state, device_batch, step_rng
-            )
+            if self.ema_params is not None:
+                (
+                    self.params,
+                    self.opt_state,
+                    self.ema_params,
+                    loss,
+                ) = self._train_step_ema(
+                    self.params, self.opt_state, self.ema_params,
+                    device_batch, step_rng,
+                )
+            else:
+                self.params, self.opt_state, loss = self._train_step(
+                    self.params, self.opt_state, device_batch, step_rng
+                )
             self.global_step += 1
 
             if profiling and batch_idx == 4:
@@ -340,21 +380,28 @@ class VideoCaptioningTrainer:
         avg = total_loss / max(num_batches, 1)
         return {"loss": avg}
 
+    @property
+    def eval_params(self):
+        """Parameters used for validation/export: the EMA shadow when
+        ``training.ema_decay`` is on, the raw params otherwise."""
+        return self.ema_params if self.ema_params is not None else self.params
+
     def validate_epoch(self) -> Dict[str, float]:
         total_loss = 0.0
         count = 0
         all_predictions = []
         all_references = []
+        eval_params = self.eval_params
 
         for batch in self.val_loader:
             n = batch["video_features"].shape[0]
             padded = self._pad_batch(batch)
             device_batch = self._place(padded)
-            loss = self._eval_loss(self.params, device_batch)
+            loss = self._eval_loss(eval_params, device_batch)
             total_loss += float(loss)
             count += 1
 
-            tokens = self._generate(self.params, device_batch["video_features"])
+            tokens = self._generate(eval_params, device_batch["video_features"])
             tokens = np.asarray(tokens)[:n]
             all_predictions.extend(
                 self.vocabulary.decode_caption(seq.tolist()) for seq in tokens
@@ -454,6 +501,11 @@ class VideoCaptioningTrainer:
 
     # ---------------------------------------------------------- helpers
 
+    def _copy_tree(self, tree):
+        """Materialize an independent on-device copy. (``device_put`` can
+        alias; a later donated step would free the shared buffers.)"""
+        return jax.jit(lambda t: jax.tree_util.tree_map(lambda x: x + 0, t))(tree)
+
     def _place(self, batch: dict) -> dict:
         arrays = {
             k: v
@@ -544,8 +596,17 @@ class VideoCaptioningTrainer:
                         self.opt_state
                     ),
                 },
+                ema_params=self.ema_params,
             )
             return
+        additional = {
+            "global_step": self.global_step,
+            "best_val_score": self.best_val_score,
+        }
+        if self.ema_params is not None:
+            from ..utils.checkpoint import _to_numpy_tree
+
+            additional["ema_state_dict"] = _to_numpy_tree(self.ema_params)
         self.checkpoint_manager.save_checkpoint(
             self.params,
             self.opt_state,
@@ -554,10 +615,7 @@ class VideoCaptioningTrainer:
             scheduler_state=self.plateau.state_dict() if self.plateau else None,
             config=self.config,
             is_best=is_best,
-            additional_info={
-                "global_step": self.global_step,
-                "best_val_score": self.best_val_score,
-            },
+            additional_info=additional,
         )
 
     def load_orbax_checkpoint(self, epoch: Optional[int] = None) -> None:
@@ -569,6 +627,13 @@ class VideoCaptioningTrainer:
         self.params = jax.tree_util.tree_map(
             jax.device_put, restored["params"], shardings
         )
+        if self.config.training.ema_decay > 0.0:
+            if "ema_params" in restored:
+                self.ema_params = jax.tree_util.tree_map(
+                    jax.device_put, restored["ema_params"], shardings
+                )
+            else:
+                self.ema_params = self._copy_tree(self.params)
         # opt_state comes back as a plain dict pytree; rebuild the typed
         # optax state by initializing and overwriting leaf values. This is
         # only sound when the current optimizer config matches save time —
@@ -615,6 +680,16 @@ class VideoCaptioningTrainer:
         )
         if self.plateau is not None and "scheduler_state_dict" in checkpoint:
             self.plateau.load_state_dict(checkpoint["scheduler_state_dict"])
+        if self.config.training.ema_decay > 0.0:
+            if "ema_state_dict" in checkpoint:
+                ema = restore_params(checkpoint["ema_state_dict"])
+                self.ema_params = jax.tree_util.tree_map(
+                    jax.device_put, ema, shardings
+                )
+            else:
+                # Checkpoint predates EMA being enabled: restart the
+                # average from the restored raw params.
+                self.ema_params = self._copy_tree(self.params)
         self.current_epoch = checkpoint["epoch"]
         self.global_step = checkpoint.get("global_step", 0)
         self.best_val_score = checkpoint.get("best_val_score", -float("inf"))

@@ -48,6 +48,7 @@ class OrbaxCheckpointManager:
         opt_state,
         metrics: Optional[Dict[str, float]] = None,
         extra: Optional[Dict[str, Any]] = None,
+        ema_params=None,
     ) -> None:
         # Orbax's standard handler wants arrays, not bare scalars — wrap
         # metadata as 0-d numpy arrays.
@@ -60,6 +61,8 @@ class OrbaxCheckpointManager:
                    if isinstance(v, (int, float))},
             },
         }
+        if ema_params is not None:
+            state["ema_params"] = ema_params
         if metrics:
             state["metrics"] = {
                 k: np.asarray(v, np.float64) for k, v in metrics.items()
