@@ -399,9 +399,9 @@ def test_grad_accum_validation():
 
 
 def test_ema_tracks_and_roundtrips(synthetic_setup, tmp_path):
-    """training.ema_decay: the shadow follows ema = d*ema + (1-d)*params
-    exactly, validation/export read it, and it survives a checkpoint
-    save -> load round trip."""
+    """training.ema_decay: the shadow follows ema = d_t*ema + (1-d_t)*params
+    with the warmup ramp d_t = min(d, (1+t)/(10+t)), validation/export read
+    it, and it survives a checkpoint save -> load round trip."""
     import copy
 
     import jax.numpy as jnp
@@ -451,9 +451,13 @@ def test_ema_tracks_and_roundtrips(synthetic_setup, tmp_path):
         ),
     }
     new_p, _, new_ema, _ = tr2._train_step_ema(
-        tr2.params, tr2.opt_state, tr2.ema_params, batch, jax.random.PRNGKey(0)
+        tr2.params, tr2.opt_state, tr2.ema_params, batch, jax.random.PRNGKey(0),
+        jnp.int32(1),
     )
-    d = cfg.training.ema_decay
+    # Warmup ramp: effective decay at step t is min(d, (1+t)/(10+t)), so
+    # the first update uses 2/11, not the configured 0.9 (ADVICE r2: a flat
+    # d keeps eval on near-init weights for ~1/(1-d) steps).
+    d = min(cfg.training.ema_decay, 2.0 / 11.0)
     for e, a, b in zip(
         jax.tree_util.tree_leaves(new_ema),
         jax.tree_util.tree_leaves(q0),
@@ -474,6 +478,28 @@ def test_ema_tracks_and_roundtrips(synthetic_setup, tmp_path):
     )
     for e, r in zip(ema, jax.tree_util.tree_leaves(tr3.ema_params)):
         np.testing.assert_array_equal(e, np.asarray(r))
+
+    # best_model.pth consumer semantics (ADVICE r2): with EMA on, the best
+    # checkpoint's PRIMARY model_state_dict is the EMA shadow (the weights
+    # best-selection actually scored), with the raw params preserved under
+    # raw_model_state_dict — and resume from best_model.pth restores the
+    # raw params, not the EMA, into trainer.params.
+    tr._save(1, {"train_loss": 1.0}, is_best=True)
+    import pickle
+
+    with open(cfg.experiment.checkpoint_dir / "best_model.pth", "rb") as f:
+        best = pickle.load(f)
+    raw = [np.asarray(x) for x in jax.tree_util.tree_leaves(tr.params)]
+    for e, b in zip(ema, jax.tree_util.tree_leaves(best["model_state_dict"])):
+        np.testing.assert_array_equal(e, np.asarray(b))
+    for r, b in zip(raw, jax.tree_util.tree_leaves(best["raw_model_state_dict"])):
+        np.testing.assert_array_equal(r, np.asarray(b))
+    tr4 = VideoCaptioningTrainer(
+        params, cfg, vocab, train_loader, val_loader, mesh=_mesh4(cfg)
+    )
+    tr4.load_checkpoint(cfg.experiment.checkpoint_dir / "best_model.pth")
+    for r, b in zip(raw, jax.tree_util.tree_leaves(tr4.params)):
+        np.testing.assert_array_equal(r, np.asarray(b))
 
 
 def test_ema_validation():

@@ -150,10 +150,23 @@ def main(argv=None) -> None:
         logger.info(f"Best validation score: {results['best_val_score']:.4f}")
 
         manager = CheckpointManager(config.experiment.checkpoint_dir)
-        # eval_params = the EMA shadow when training.ema_decay is on.
-        pkg = manager.save_model_for_inference(
-            trainer.eval_params, vocabulary, config
-        )
+        # Export the weights that actually earned best_val_score: the best
+        # checkpoint's primary model_state_dict (the EMA shadow from the
+        # best-validation epoch when training.ema_decay is on — NOT the
+        # final-epoch EMA, which kept drifting after the best epoch).
+        from ..utils.checkpoint import restore_params
+
+        best = manager.load_best_model()
+        if best is not None:
+            export_params = restore_params(best["model_state_dict"])
+            logger.info(
+                f"Packaging best-epoch weights (epoch {best.get('epoch')})"
+            )
+        else:
+            # No validation ran / no best checkpoint: fall back to the
+            # trainer's current eval params (EMA shadow if enabled).
+            export_params = trainer.eval_params
+        pkg = manager.save_model_for_inference(export_params, vocabulary, config)
         logger.info(f"Saved inference model to: {pkg}")
 
     except KeyboardInterrupt:

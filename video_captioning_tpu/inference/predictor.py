@@ -45,14 +45,30 @@ class VideoCaptionPredictor:
         config: Optional[Config] = None,
         feature_mode: str = "pixel_stub",
         compute_dtype: Optional[str] = None,
+        compilation_cache_dir: Optional[Union[str, Path]] = None,
     ):
         """compute_dtype: "bfloat16" casts params once for ~2x lower HBM
         traffic in the decode loops (token parity is only guaranteed in the
-        default float32)."""
+        default float32).
+
+        compilation_cache_dir: deployment-level persistent-XLA-cache path.
+        The value embedded in the trained model package is deliberately
+        IGNORED — it names a path on the *training* host, and creating it
+        on whatever machine loads the package is wrong. Pass it here or set
+        ``VC_TPU_COMPILATION_CACHE_DIR`` in the serving environment."""
         self.logger = logging.getLogger(__name__)
         self.feature_mode = feature_mode
         self._gen_cache: Dict[tuple, object] = {}
         self._backbone = None
+        import os
+
+        cache_dir = compilation_cache_dir or os.environ.get(
+            "VC_TPU_COMPILATION_CACHE_DIR"
+        )
+        if cache_dir:
+            from ..utils.compile_cache import enable_compilation_cache
+
+            enable_compilation_cache(cache_dir)
         self._load_model(Path(model_path), config)
         if compute_dtype == "bfloat16":
             import jax.numpy as _jnp
@@ -74,12 +90,6 @@ class VideoCaptionPredictor:
             self.config = config_override
         else:
             self.config = Config.from_dict(package["model_config"])
-
-        # Warm-start serving: reuse serialized XLA executables across
-        # process restarts when the config points at a persistent cache.
-        from ..utils.compile_cache import maybe_enable_from_config
-
-        maybe_enable_from_config(self.config)
 
         vocab_data = package["vocabulary"]
         self.vocabulary = Vocabulary(self.config)

@@ -239,11 +239,17 @@ class VideoCaptioningTrainer:
         ema_decay = config.training.ema_decay
         if ema_decay > 0.0:
 
-            def train_step_ema(params, opt_state, ema, batch, rng):
+            def train_step_ema(params, opt_state, ema, batch, rng, step):
                 new_params, new_opt_state, loss = train_step(
                     params, opt_state, batch, rng
                 )
-                d = jnp.float32(ema_decay)
+                # Decay warmup d_t = min(d, (1+t)/(10+t)): the shadow starts
+                # from init params, so a flat d=0.999 would keep validation /
+                # best-selection on near-init weights for ~1/(1-d) steps.
+                # The ramp makes the early EMA an average of *recent* params
+                # and converges to the configured decay.
+                t = step.astype(jnp.float32)
+                d = jnp.minimum(jnp.float32(ema_decay), (1.0 + t) / (10.0 + t))
                 new_ema = jax.tree_util.tree_map(
                     lambda e, p: (
                         e * d + p.astype(jnp.float32) * (1.0 - d)
@@ -319,6 +325,7 @@ class VideoCaptioningTrainer:
                 ) = self._train_step_ema(
                     self.params, self.opt_state, self.ema_params,
                     device_batch, step_rng,
+                    jnp.int32(self.global_step + 1),
                 )
             else:
                 self.params, self.opt_state, loss = self._train_step(
@@ -616,6 +623,10 @@ class VideoCaptioningTrainer:
             config=self.config,
             is_best=is_best,
             additional_info=additional,
+            # Best-model selection is scored on the EMA shadow, so the
+            # best_model.pth a consumer loads must hold those weights
+            # (raw params stay under raw_model_state_dict for resume).
+            best_model_state=self.ema_params,
         )
 
     def load_orbax_checkpoint(self, epoch: Optional[int] = None) -> None:
@@ -672,7 +683,12 @@ class VideoCaptioningTrainer:
     def load_checkpoint(self, checkpoint_path: Path) -> Dict[str, Any]:
         """Resume training state (parity: reference trainer.py:449-465)."""
         checkpoint = self.checkpoint_manager.load_checkpoint(checkpoint_path)
-        params = restore_params(checkpoint["model_state_dict"])
+        # best_model.pth stores the EMA shadow as its primary
+        # model_state_dict; the raw training params live under
+        # raw_model_state_dict — prefer those for resume.
+        params = restore_params(
+            checkpoint.get("raw_model_state_dict", checkpoint["model_state_dict"])
+        )
         shardings = param_shardings(self.mesh, params)
         self.params = jax.tree_util.tree_map(jax.device_put, params, shardings)
         self.opt_state = jax.device_put(

@@ -61,7 +61,15 @@ class CheckpointManager:
         config=None,
         is_best: bool = False,
         additional_info: Optional[Dict[str, Any]] = None,
+        best_model_state: Optional[Dict[str, Any]] = None,
     ) -> Path:
+        """``best_model_state``: when set and ``is_best``, the
+        ``best_model.pth`` copy stores this tree (e.g. the EMA shadow that
+        actually produced the best validation score) as its primary
+        ``model_state_dict``, with the raw training params preserved under
+        ``raw_model_state_dict`` so resume still works. Consumers loading
+        ``best_model.pth`` the standard way then get the weights that
+        earned the recorded score."""
         checkpoint = {
             "epoch": epoch,
             "model_state_dict": _to_numpy_tree(params),
@@ -78,7 +86,12 @@ class CheckpointManager:
         self._dump(checkpoint, path)
 
         if is_best:
-            self._dump(checkpoint, self.checkpoint_dir / "best_model.pth")
+            best = checkpoint
+            if best_model_state is not None:
+                best = dict(checkpoint)
+                best["model_state_dict"] = _to_numpy_tree(best_model_state)
+                best["raw_model_state_dict"] = checkpoint["model_state_dict"]
+            self._dump(best, self.checkpoint_dir / "best_model.pth")
             self.logger.info(f"Saved best model at epoch {epoch}")
 
         self._dump(checkpoint, self.checkpoint_dir / "latest_checkpoint.pth")
