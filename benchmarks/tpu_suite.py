@@ -24,7 +24,7 @@ from video_captioning_tpu.generation.beam import beam_search_generate
 from video_captioning_tpu.generation.greedy import greedy_generate
 from video_captioning_tpu.models import captioner
 
-BATCH = 64
+BATCHES = (64, 256)  # 256 is the headline config (bench.py / PERFORMANCE.md)
 ITERS = 8
 MAX_LEN = 20
 RUNS = 3
@@ -86,14 +86,20 @@ def main():
     for dtype_name, dtype in [("float32", jnp.float32), ("bfloat16", jnp.bfloat16)]:
         config, params = build(dtype)
         for method, beam in [("greedy", 1), ("beam", 5)]:
-            cps, per_batch = measure(config, params, method, beam, BATCH, dtype)
-            results[f"{method}_{dtype_name}"] = {
-                "clips_per_sec": round(cps, 1),
-                "batch": BATCH,
-                "sec_per_batch": round(per_batch, 5),
-            }
-            print(f"{method:6s} {dtype_name:9s}: {cps:10.1f} clips/sec "
-                  f"({per_batch*1e3:.2f} ms / {BATCH}-clip batch)")
+            for batch in BATCHES:
+                cps, per_batch = measure(config, params, method, beam, batch, dtype)
+                # Unsuffixed keys stay the historical B=64 rows; B=256 rows
+                # (the bench.py headline config) get an explicit suffix.
+                key = (f"{method}_{dtype_name}" if batch == 64
+                       else f"{method}_{dtype_name}_b{batch}")
+                results[key] = {
+                    "clips_per_sec": round(cps, 1),
+                    "batch": batch,
+                    "sec_per_batch": round(per_batch, 5),
+                }
+                print(f"{method:6s} {dtype_name:9s} B={batch:3d}: "
+                      f"{cps:10.1f} clips/sec "
+                      f"({per_batch*1e3:.2f} ms / batch)")
 
     # Single-clip p50 latency, beam-5 fp32 (one call per clip; includes the
     # ~35 ms tunnel round-trip of this environment).

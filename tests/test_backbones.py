@@ -66,11 +66,18 @@ def test_resnet50_small_input():
 def test_feature_extractor_wrapper(tmp_path):
     from video_captioning_tpu.models.backbones import FeatureExtractor
 
-    fx = FeatureExtractor("resnet50", None, batch_size=4)
+    fx = FeatureExtractor("resnet50", None, batch_size=4, allow_random_init=True)
     frames = np.random.RandomState(0).randint(0, 255, (6, 64, 64, 3), np.uint8)
     feats = fx.extract(frames)
     assert feats.shape == (6, 2048)
     assert feats.dtype == np.float32
+
+
+def test_feature_extractor_requires_weights_by_default():
+    from video_captioning_tpu.models.backbones import FeatureExtractor
+
+    with pytest.raises(ValueError, match="pretrained weights"):
+        FeatureExtractor("resnet50", None, batch_size=4)
 
 
 # ---------------------------------------------------------------------------
@@ -246,3 +253,64 @@ def test_resnet50_stride2_block_matches_torch():
             .transpose(0, 2, 3, 1)
         )
     np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
+
+
+# --- BN-folded / fused inference path (round 3) ---------------------------
+
+
+def _randomized_resnet_params(seed=0):
+    """init_resnet50 params with non-trivial BN stats so folding is real."""
+    from video_captioning_tpu.models.backbones.resnet import init_resnet50
+
+    params = init_resnet50(jax.random.PRNGKey(seed))
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    ks = jax.random.split(jax.random.PRNGKey(seed + 1), len(leaves))
+    out = []
+    for leaf, kk in zip(leaves, ks):
+        noised = leaf + jax.random.normal(kk, leaf.shape) * 0.05
+        # BN vectors (1-D) must stay positive where they are variances.
+        out.append(jnp.abs(noised) if noised.ndim == 1 else noised)
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def test_resnet50_folded_matches_unfolded():
+    from video_captioning_tpu.models.backbones.resnet import (
+        apply_resnet50,
+        apply_resnet50_folded,
+        fold_bn,
+    )
+
+    params = _randomized_resnet_params()
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 64, 64, 3))
+    ref = np.asarray(apply_resnet50(params, x))
+    got = np.asarray(apply_resnet50_folded(fold_bn(params), x, use_pallas=False))
+    # Folding reassociates the BN multiply into the conv weights, so
+    # fp32 rounding differs slightly from the unfolded order (~3e-4 rel
+    # worst-case over 50 layers of noised random params).
+    np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-5)
+
+
+def test_resnet50_folded_torch_oracle_parity():
+    """Folded path through the weight importer matches torchvision eval."""
+    torch = pytest.importorskip("torch")
+    from video_captioning_tpu.models.backbones.resnet import (
+        apply_resnet50_folded,
+        fold_bn,
+        load_torch_resnet50,
+    )
+
+    torch.manual_seed(11)
+    model = _torch_resnet50(torch).eval()
+    with torch.no_grad():
+        for m in model.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.05)
+                m.running_var.uniform_(0.5, 1.5)
+    params = load_torch_resnet50({k: v.numpy() for k, v in model.state_dict().items()})
+    rs = np.random.RandomState(12)
+    x = rs.randn(2, 224, 224, 3).astype(np.float32)
+    ours = np.asarray(apply_resnet50_folded(fold_bn(params), jnp.asarray(x),
+                                            use_pallas=False))
+    with torch.no_grad():
+        theirs = model(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=1e-4)

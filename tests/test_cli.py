@@ -140,6 +140,7 @@ def test_preprocess_cli_with_synthetic_video(tmp_path, capsys):
         "--video-dir", str(video_dir),
         "--output-dir", str(out_dir),
         "--model-type", "resnet50",
+        "--allow-random-init",
         "--frames-per-video", "4",
         "--batch-size", "4",
         "--img-size", "64", "64",
@@ -159,6 +160,7 @@ def test_preprocess_cli_with_synthetic_video(tmp_path, capsys):
         "--video-dir", str(video_dir),
         "--output-dir", str(out_dir),
         "--model-type", "resnet50",
+        "--allow-random-init",
         "--frames-per-video", "4",
         "--img-size", "64", "64",
     ])

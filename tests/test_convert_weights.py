@@ -1,0 +1,115 @@
+"""convert-weights CLI: torchvision state dict -> native .npz round trip
+(VERDICT r2 item 5 — pretrained-weight delivery tooling)."""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def _synthetic_resnet_state(torch):
+    """torchvision-shaped resnet50 state dict with random values."""
+    from tests.test_backbones import _torch_resnet50
+
+    torch.manual_seed(0)
+    model = _torch_resnet50(torch).eval()
+    with torch.no_grad():
+        for m in model.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.05)
+                m.running_var.uniform_(0.5, 1.5)
+    return model.state_dict()
+
+
+def test_convert_pth_roundtrip_resnet50(tmp_path):
+    torch = pytest.importorskip("torch")
+    from video_captioning_tpu.cli import convert_weights
+    from video_captioning_tpu.models.backbones import FeatureExtractor
+    from video_captioning_tpu.models.backbones.resnet import load_torch_resnet50
+
+    state = _synthetic_resnet_state(torch)
+    pth = tmp_path / "resnet50.pth"
+    torch.save(state, pth)
+
+    out = tmp_path / "resnet50.vcw.npz"
+    convert_weights.main([
+        "--input", str(pth), "--model-type", "resnet50",
+        "--output", str(out),
+    ])
+    assert out.exists()
+
+    # Native load == direct torch-format load, through the extractor API.
+    fx_native = FeatureExtractor("resnet50", None, weights_path=out,
+                                 batch_size=4)
+    direct = load_torch_resnet50({k: v.numpy() for k, v in state.items()})
+    frames = np.random.RandomState(0).randint(0, 255, (2, 64, 64, 3), np.uint8)
+    feats = fx_native.extract(frames)
+    fx_native.params = direct  # reuse the jitted fn with direct params
+    feats_direct = fx_native.extract(frames)
+    np.testing.assert_allclose(feats, feats_direct, rtol=1e-5, atol=1e-5)
+
+
+def test_convert_rejects_wrong_architecture(tmp_path):
+    torch = pytest.importorskip("torch")
+    from video_captioning_tpu.cli import convert_weights
+
+    state = _synthetic_resnet_state(torch)
+    pth = tmp_path / "resnet50.pth"
+    torch.save(state, pth)
+    with pytest.raises(SystemExit, match="vgg16"):
+        convert_weights.convert(pth, "vgg16", tmp_path / "out.npz")
+
+
+def test_native_checksum_validation(tmp_path):
+    torch = pytest.importorskip("torch")
+    from video_captioning_tpu.cli import convert_weights
+
+    state = _synthetic_resnet_state(torch)
+    pth = tmp_path / "resnet50.pth"
+    torch.save(state, pth)
+    out = tmp_path / "resnet50.vcw.npz"
+    convert_weights.convert(pth, "resnet50", out)
+
+    # Corrupt one leaf and re-save -> load must fail the digest check.
+    data = dict(np.load(out))
+    key = next(k for k in data if not k.startswith("__"))
+    data[key] = data[key] + 1.0
+    np.savez(out, **data)
+    with pytest.raises(ValueError, match="checksum"):
+        convert_weights.load_native(out)
+
+
+def test_wrong_model_type_mismatch_raises(tmp_path):
+    torch = pytest.importorskip("torch")
+    from video_captioning_tpu.cli import convert_weights
+    from video_captioning_tpu.models.backbones import FeatureExtractor
+
+    state = _synthetic_resnet_state(torch)
+    pth = tmp_path / "resnet50.pth"
+    torch.save(state, pth)
+    out = tmp_path / "resnet50.vcw.npz"
+    convert_weights.convert(pth, "resnet50", out)
+    with pytest.raises(ValueError, match="resnet50"):
+        FeatureExtractor("vgg16", None, weights_path=out)
+
+
+def test_unflatten_inverts_flatten():
+    from video_captioning_tpu.cli.convert_weights import _flatten, _unflatten
+
+    tree = {
+        "a": np.ones((2,)),
+        "stages": [
+            [{"w": np.zeros((3,))}, {"w": np.ones((3,))}],
+            [{"w": np.full((3,), 2.0)}],
+        ],
+    }
+    rt = _unflatten(_flatten(tree))
+    assert isinstance(rt["stages"], list)
+    assert isinstance(rt["stages"][0], list)
+    np.testing.assert_array_equal(rt["stages"][1][0]["w"], np.full((3,), 2.0))
+    flat1 = _flatten(tree)
+    flat2 = _flatten(rt)
+    assert flat1.keys() == flat2.keys()

@@ -495,3 +495,76 @@ def test_lstm_seq_kernel_bf16_inputs():
     )
     # Zero outputs past each row's length survive the bf16 path bitwise.
     assert float(jnp.abs(outs16[6:, :, 3]).max()) == 0.0
+
+
+# --- conv1x1 / fused-bottleneck kernels (round 3, CNN backbone path) ------
+
+
+def test_conv1x1_matmul_bias_act_matches_xla():
+    from video_captioning_tpu.ops.conv1x1_pallas import matmul_bias_act
+
+    k = jax.random.PRNGKey(0)
+    k1, k2, k3, k4 = jax.random.split(k, 4)
+    x = jax.random.normal(k1, (448, 96))
+    w = jax.random.normal(k2, (96, 64))
+    b = jax.random.normal(k3, (64,))
+    r = jax.random.normal(k4, (448, 64))
+    ref = jnp.maximum(x @ w + b + r, 0.0)
+    got = matmul_bias_act(x, w, b, r, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    ref2 = x @ w + b
+    got2 = matmul_bias_act(x, w, b, relu=False, interpret=True)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_conv1x1_stride2_matches_slice_matmul():
+    from video_captioning_tpu.ops.conv1x1_pallas import conv1x1
+
+    k = jax.random.PRNGKey(1)
+    k1, k2, k3 = jax.random.split(k, 3)
+    x = jax.random.normal(k1, (1, 56, 56, 32))
+    w = jax.random.normal(k2, (32, 64))
+    b = jax.random.normal(k3, (64,))
+    got = conv1x1(x, w, b, stride=2, relu=False, interpret=True)
+    ref = jnp.einsum("bhwc,cd->bhwd", x[:, ::2, ::2, :], w) + b
+    assert got.shape == (1, 28, 28, 64)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_conv1x1_returns_none_on_illegal_shapes():
+    from video_captioning_tpu.ops.conv1x1_pallas import conv1x1
+
+    # M = 1*7*7 = 49 has no multiple-of-16 divisor -> XLA fallback signal.
+    x = jnp.zeros((1, 7, 7, 32))
+    w = jnp.zeros((32, 64))
+    b = jnp.zeros((64,))
+    assert conv1x1(x, w, b, interpret=True) is None
+
+
+def test_fused_bottleneck_matches_xla_chain():
+    from video_captioning_tpu.ops.bottleneck_pallas import fused_bottleneck
+
+    k = jax.random.PRNGKey(2)
+    ks = jax.random.split(k, 7)
+    B, H, W, C, Cm = 2, 14, 14, 256, 64
+    x = jax.random.normal(ks[0], (B, H, W, C))
+    w1 = jax.random.normal(ks[1], (C, Cm)) * 0.1
+    b1 = jax.random.normal(ks[2], (Cm,))
+    w2 = jax.random.normal(ks[3], (3, 3, Cm, Cm)) * 0.05
+    b2 = jax.random.normal(ks[4], (Cm,))
+    w3 = jax.random.normal(ks[5], (Cm, C)) * 0.1
+    b3 = jax.random.normal(ks[6], (C,))
+
+    y1 = jnp.maximum(jnp.einsum("bhwc,cd->bhwd", x, w1) + b1, 0)
+    y2 = jax.lax.conv_general_dilated(
+        y1, w2, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y2 = jnp.maximum(y2 + b2, 0)
+    ref = jnp.maximum(jnp.einsum("bhwc,cd->bhwd", y2, w3) + b3 + x, 0)
+
+    got = fused_bottleneck(x, w1, b1, w2, b2, w3, b3, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)

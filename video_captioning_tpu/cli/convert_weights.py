@@ -1,0 +1,193 @@
+"""convert-weights CLI: torchvision CNN state dicts -> native weight files.
+
+The reference gets its ImageNet backbones implicitly from torchvision at
+load time (/root/reference/src/preprocess.py:67-78,
+/root/reference/src/models/encoder.py:116-129). This repo is torch-free on
+the compute path, so pretrained weights arrive through an explicit,
+offline conversion step:
+
+    python -m video_captioning_tpu.cli.convert_weights \
+        --input vgg16-397923af.pth --model-type vgg16 --output vgg16.vcw.npz
+
+The output is a self-describing ``.npz``: flattened ``path/to/leaf``
+arrays plus ``__format__``/``__model_type__`` markers and a JSON metadata
+entry (source file, per-leaf sha256 digest) so serving hosts can verify
+integrity. ``models.backbones.FeatureExtractor`` loads either this native
+format or a raw torchvision state file; conversion just makes the
+deliverable explicit, validated, and torch-free at load time.
+
+Input formats: ``.npz``/pickled dicts natively; ``.pth``/``.pt`` via a
+lazy torch import (torch is only touched inside this host-side tool,
+never on the compute path).
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import logging
+from pathlib import Path
+from typing import Dict
+
+import numpy as np
+
+from ..utils.logging import setup_logging
+
+logger = logging.getLogger(__name__)
+
+NATIVE_FORMAT = "vcw-v1"
+
+_EXPECTED_KEYS = {
+    # spot keys proving the state dict is the advertised architecture
+    "vgg16": ["features.0.weight", "classifier.3.bias"],
+    "resnet50": ["conv1.weight", "layer4.2.bn3.running_var"],
+}
+
+
+def _load_any_state(path: Path) -> Dict[str, np.ndarray]:
+    """Load a state dict from .pth/.pt (torch), .npz, or pickle."""
+    path = Path(path)
+    if path.suffix in (".pth", ".pt"):
+        try:
+            import torch  # host-side tool only; never on the compute path
+        except ImportError as e:  # pragma: no cover - torch is in CI image
+            raise SystemExit(
+                f"{path} is a torch checkpoint but torch is not installed; "
+                "convert it to .npz on a torch host first"
+            ) from e
+        state = torch.load(path, map_location="cpu", weights_only=True)
+        return {k: v.numpy() for k, v in state.items()}
+    if path.suffix == ".npz":
+        return dict(np.load(path))
+    import pickle
+
+    with open(path, "rb") as f:
+        state = pickle.load(f)
+    return {k: np.asarray(v) for k, v in state.items()}
+
+
+def _flatten(tree, prefix="") -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f"{prefix}{k}/"))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(_flatten(v, f"{prefix}{i}/"))
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def _unflatten(flat: Dict[str, np.ndarray]):
+    """Inverse of :func:`_flatten` (dicts; integer keys become lists)."""
+    root: Dict = {}
+    for path, leaf in flat.items():
+        parts = path.split("/")
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = leaf
+
+    def listify(node):
+        if not isinstance(node, dict):
+            return node
+        if node and all(k.isdigit() for k in node):
+            return [listify(node[str(i)]) for i in range(len(node))]
+        return {k: listify(v) for k, v in node.items()}
+
+    return listify(root)
+
+
+def convert(input_path: Path, model_type: str, output_path: Path) -> dict:
+    """torchvision state dict file -> native .vcw.npz; returns metadata."""
+    from ..models.backbones.resnet import load_torch_resnet50
+    from ..models.backbones.vgg import load_torch_vgg16
+
+    state = _load_any_state(input_path)
+    for key in _EXPECTED_KEYS[model_type]:
+        if key not in state:
+            raise SystemExit(
+                f"{input_path} does not look like a torchvision {model_type} "
+                f"state dict (missing key {key!r}); found e.g. "
+                f"{sorted(state)[:3]}"
+            )
+    loader = load_torch_vgg16 if model_type == "vgg16" else load_torch_resnet50
+    params = loader(state)
+    flat = {k: np.asarray(v) for k, v in _flatten(params).items()}
+
+    digests = {k: hashlib.sha256(v.tobytes()).hexdigest()[:16]
+               for k, v in flat.items()}
+    meta = {
+        "format": NATIVE_FORMAT,
+        "model_type": model_type,
+        "source": str(input_path),
+        "n_params": int(sum(v.size for v in flat.values())),
+        "sha256": digests,
+    }
+    np.savez(
+        output_path,
+        __format__=np.asarray(NATIVE_FORMAT),
+        __model_type__=np.asarray(model_type),
+        __meta__=np.asarray(json.dumps(meta)),
+        **flat,
+    )
+    logger.info(
+        f"Wrote {output_path}: {len(flat)} arrays, "
+        f"{meta['n_params']:,} parameters"
+    )
+    return meta
+
+
+def load_native(path: Path):
+    """Load a converted .vcw.npz -> (model_type, params pytree).
+
+    Verifies the per-leaf sha256 digests recorded at conversion time.
+    """
+    data = dict(np.load(path))
+    if "__format__" not in data or str(data["__format__"]) != NATIVE_FORMAT:
+        raise ValueError(f"{path} is not a {NATIVE_FORMAT} weights file")
+    model_type = str(data["__model_type__"])
+    meta = json.loads(str(data["__meta__"]))
+    flat = {k: v for k, v in data.items() if not k.startswith("__")}
+    for k, v in flat.items():
+        digest = hashlib.sha256(v.tobytes()).hexdigest()[:16]
+        if meta["sha256"].get(k) != digest:
+            raise ValueError(f"{path}: checksum mismatch for {k}")
+    return model_type, _unflatten(flat)
+
+
+def is_native(path: Path) -> bool:
+    if Path(path).suffix != ".npz":
+        return False
+    try:
+        with np.load(path) as data:
+            return "__format__" in data.files
+    except Exception:
+        return False
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="Convert torchvision CNN weights to the native format")
+    parser.add_argument("--input", type=str, required=True,
+                        help="torchvision state dict (.pth/.pt/.npz/pickle)")
+    parser.add_argument("--model-type", type=str, required=True,
+                        choices=["vgg16", "resnet50"])
+    parser.add_argument("--output", type=str, required=True,
+                        help="Output native weights file (.npz)")
+    parser.add_argument("--log-level", type=str, default="INFO")
+    return parser
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    setup_logging(args.log_level)
+    meta = convert(Path(args.input), args.model_type, Path(args.output))
+    print(json.dumps({k: meta[k] for k in
+                      ("format", "model_type", "n_params")}))
+
+
+if __name__ == "__main__":
+    main()

@@ -25,7 +25,9 @@ def predict_single_video(args) -> None:
     from ..inference.predictor import VideoCaptionPredictor
 
     predictor = VideoCaptionPredictor(
-        Path(args.model_path), feature_mode=args.feature_mode
+        Path(args.model_path), feature_mode=args.feature_mode,
+        cnn_weights_path=Path(args.cnn_weights) if args.cnn_weights else None,
+        allow_random_cnn_init=args.allow_random_cnn_init
     )
     logger.info(f"Generating caption for: {args.video_path}")
 
@@ -73,7 +75,9 @@ def predict_batch_videos(args) -> None:
         raise SystemExit("batch requires --video-list or --features-dir")
 
     predictor = VideoCaptionPredictor(
-        Path(args.model_path), feature_mode=args.feature_mode
+        Path(args.model_path), feature_mode=args.feature_mode,
+        cnn_weights_path=Path(args.cnn_weights) if args.cnn_weights else None,
+        allow_random_cnn_init=args.allow_random_cnn_init
     )
 
     if args.features_dir:
@@ -152,7 +156,9 @@ def predict_multiple_captions(args) -> None:
     from ..inference.predictor import VideoCaptionPredictor
 
     predictor = VideoCaptionPredictor(
-        Path(args.model_path), feature_mode=args.feature_mode
+        Path(args.model_path), feature_mode=args.feature_mode,
+        cnn_weights_path=Path(args.cnn_weights) if args.cnn_weights else None,
+        allow_random_cnn_init=args.allow_random_cnn_init
     )
 
     if args.features_path:
@@ -197,6 +203,13 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--feature-mode", type=str, default="pixel_stub",
                         choices=["pixel_stub", "cnn"],
                         help="On-the-fly feature extraction mode")
+    parser.add_argument("--cnn-weights", type=str,
+                        help="Pretrained CNN weights for --feature-mode cnn "
+                             "(native .npz from convert_weights, or a "
+                             "torchvision state file)")
+    parser.add_argument("--allow-random-cnn-init", action="store_true",
+                        help="Run --feature-mode cnn without pretrained "
+                             "weights (random CNN; captions meaningless)")
 
     parser.add_argument("--method", type=str, default="greedy",
                         choices=["greedy", "beam", "sample"], help="Generation method")

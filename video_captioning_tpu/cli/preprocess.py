@@ -37,13 +37,15 @@ class VideoFeatureExtractor:
         frames_per_video: int = 80,
         img_size: tuple = (224, 224),
         weights_path: Optional[Path] = None,
+        allow_random_init: bool = False,
     ):
         from ..models.backbones import FeatureExtractor
 
         self.frames_per_video = frames_per_video
         self.img_size = img_size
         self.backbone = FeatureExtractor(
-            model_type, None, weights_path=weights_path, batch_size=batch_size
+            model_type, None, weights_path=weights_path, batch_size=batch_size,
+            allow_random_init=allow_random_init,
         )
         logger.info(f"Initialized {model_type} feature extractor")
 
@@ -163,7 +165,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--model-type", type=str, default="vgg16",
                         choices=["vgg16", "resnet50"], help="CNN model type")
     parser.add_argument("--weights", type=str,
-                        help="Path to pretrained CNN weights (.npz or pickled state dict)")
+                        help="Path to pretrained CNN weights (native .npz from "
+                             "convert_weights, raw .npz, or pickled state dict)")
+    parser.add_argument("--allow-random-init", action="store_true",
+                        help="Proceed without pretrained weights (random CNN; "
+                             "features are meaningless for caption quality)")
     parser.add_argument("--batch-size", type=int, default=32, help="Batch size for processing")
     parser.add_argument("--frames-per-video", type=int, default=80, help="Number of frames per video")
     parser.add_argument("--img-size", type=int, nargs=2, default=[224, 224], help="Image size for CNN")
@@ -201,6 +207,7 @@ def main(argv=None) -> None:
         frames_per_video=args.frames_per_video,
         img_size=tuple(args.img_size),
         weights_path=Path(args.weights) if args.weights else None,
+        allow_random_init=args.allow_random_init,
     )
 
     logger.info("Starting feature extraction...")

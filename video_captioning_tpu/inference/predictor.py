@@ -46,6 +46,9 @@ class VideoCaptionPredictor:
         feature_mode: str = "pixel_stub",
         compute_dtype: Optional[str] = None,
         compilation_cache_dir: Optional[Union[str, Path]] = None,
+        cnn_weights_path: Optional[Path] = None,
+        allow_random_cnn_init: bool = False,
+        mesh=None,
     ):
         """compute_dtype: "bfloat16" casts params once for ~2x lower HBM
         traffic in the decode loops (token parity is only guaranteed in the
@@ -55,11 +58,22 @@ class VideoCaptionPredictor:
         The value embedded in the trained model package is deliberately
         IGNORED — it names a path on the *training* host, and creating it
         on whatever machine loads the package is wrong. Pass it here or set
-        ``VC_TPU_COMPILATION_CACHE_DIR`` in the serving environment."""
+        ``VC_TPU_COMPILATION_CACHE_DIR`` in the serving environment.
+
+        mesh: a ``jax.sharding.Mesh`` with a ``data`` axis for multi-chip
+        serving. Params are replicated across the mesh once at load; every
+        batched generation call shards the clip batch over ``data`` (one
+        jitted program, XLA keeps all collectives on ICI — the clips are
+        independent so the only cross-chip traffic is the final token
+        gather). Surpasses the reference's sequential BatchPredictor
+        (predictor.py:422-483), which loops clips one at a time on one
+        device."""
         self.logger = logging.getLogger(__name__)
         self.feature_mode = feature_mode
         self._gen_cache: Dict[tuple, object] = {}
         self._backbone = None
+        self._cnn_weights_path = cnn_weights_path
+        self._allow_random_cnn_init = allow_random_cnn_init
         import os
 
         cache_dir = compilation_cache_dir or os.environ.get(
@@ -69,6 +83,7 @@ class VideoCaptionPredictor:
             from ..utils.compile_cache import enable_compilation_cache
 
             enable_compilation_cache(cache_dir)
+        self.mesh = mesh
         self._load_model(Path(model_path), config)
         if compute_dtype == "bfloat16":
             import jax.numpy as _jnp
@@ -79,6 +94,14 @@ class VideoCaptionPredictor:
                 else x,
                 self.params,
             )
+        if mesh is not None:
+            if "data" not in mesh.axis_names:
+                raise ValueError(
+                    f"serving mesh needs a 'data' axis, got {mesh.axis_names}"
+                )
+            from ..parallel.sharding import replicated
+
+            self.params = jax.device_put(self.params, replicated(mesh))
 
     # ----------------------------------------------------------- loading
 
@@ -173,10 +196,20 @@ class VideoCaptionPredictor:
     ) -> Dict[str, jax.Array]:
         feats = jnp.asarray(features_batch, jnp.float32)
         B = feats.shape[0]
-        bucket = self._bucket_size(B)
+        if self.mesh is not None:
+            # Bucket to a multiple of the data-axis size so the batch
+            # shards evenly; each chip decodes its bucket/nd clips.
+            nd = self.mesh.shape["data"]
+            bucket = nd * self._bucket_size(-(-B // nd))
+        else:
+            bucket = self._bucket_size(B)
         if bucket != B:
             pad = jnp.zeros((bucket - B,) + feats.shape[1:], feats.dtype)
             feats = jnp.concatenate([feats, pad], axis=0)
+        if self.mesh is not None:
+            from ..parallel.sharding import batch_sharding
+
+            feats = jax.device_put(feats, batch_sharding(self.mesh))
         fn = self._gen_fn(method, max_length, beam_size, length_penalty)
         if method == "greedy":
             outputs = fn(self.params, feats, float(temperature))
@@ -309,7 +342,11 @@ class VideoCaptionPredictor:
             model_type = (
                 "vgg16" if self.config.model.cnn_feature_dim == 4096 else "resnet50"
             )
-            self._backbone = FeatureExtractor(model_type, self.config)
+            self._backbone = FeatureExtractor(
+                model_type, self.config,
+                weights_path=self._cnn_weights_path,
+                allow_random_init=self._allow_random_cnn_init,
+            )
         frames = extract_frames(
             video_path, num_frames, resize=tuple(self.config.data.img_size),
             pad_mode="zero",

@@ -51,6 +51,7 @@ class FeatureExtractor:
         weights_path: Optional[Path] = None,
         batch_size: int = 32,
         seed: int = 0,
+        allow_random_init: bool = False,
     ):
         model_type = model_type.lower()
         if model_type not in FEATURE_DIMS:
@@ -61,14 +62,26 @@ class FeatureExtractor:
         self.config = config
 
         if weights_path is not None:
-            state = _load_state_file(weights_path)
-            self.params = (
-                load_torch_vgg16(state)
-                if model_type == "vgg16"
-                else load_torch_resnet50(state)
-            )
+            from ...cli.convert_weights import is_native, load_native
+
+            if is_native(weights_path):
+                # Converted .vcw.npz (cli/convert_weights.py): checksummed
+                # native pytree, no torch-format parsing at load time.
+                loaded_type, self.params = load_native(weights_path)
+                if loaded_type != model_type:
+                    raise ValueError(
+                        f"{weights_path} holds {loaded_type} weights but "
+                        f"{model_type} was requested"
+                    )
+            else:
+                state = _load_state_file(weights_path)
+                self.params = (
+                    load_torch_vgg16(state)
+                    if model_type == "vgg16"
+                    else load_torch_resnet50(state)
+                )
             logger.info(f"Loaded {model_type} weights from {weights_path}")
-        else:
+        elif allow_random_init:
             key = jax.random.PRNGKey(seed)
             self.params = (
                 init_vgg16(key) if model_type == "vgg16" else init_resnet50(key)
@@ -76,6 +89,15 @@ class FeatureExtractor:
             logger.warning(
                 f"No pretrained weights supplied for {model_type}; using random "
                 "init (fine for pipeline tests, not for caption quality)"
+            )
+        else:
+            raise ValueError(
+                f"No pretrained weights supplied for {model_type}. Convert a "
+                "torchvision checkpoint with "
+                "`python -m video_captioning_tpu.cli.convert_weights` and pass "
+                "weights_path, or opt into random init explicitly with "
+                "allow_random_init=True (features will be meaningless for "
+                "caption quality)."
             )
 
         apply = apply_vgg16 if model_type == "vgg16" else apply_resnet50
@@ -111,7 +133,12 @@ class FeatureExtractor:
 
 
 def create_feature_extractor(
-    config: Config, model_type: str = "vgg16", weights_path: Optional[Path] = None
+    config: Config,
+    model_type: str = "vgg16",
+    weights_path: Optional[Path] = None,
+    *,
+    allow_random_init: bool = False,
 ) -> FeatureExtractor:
     """Factory (parity: reference encoder.py:205-226)."""
-    return FeatureExtractor(model_type, config, weights_path=weights_path)
+    return FeatureExtractor(model_type, config, weights_path=weights_path,
+                            allow_random_init=allow_random_init)

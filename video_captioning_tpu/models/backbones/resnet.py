@@ -126,6 +126,122 @@ def apply_resnet50(params: Dict, images: Array) -> Array:
     return jnp.mean(x, axis=(1, 2))  # global average pool → (B, 2048)
 
 
+# ---------------------------------------------------------------------------
+# Folded / fused inference path.
+#
+# The backbone only ever runs frozen in eval mode (reference
+# encoder.py:179-181, preprocess.py:54), so every BatchNorm is an affine
+# with constant coefficients and can be folded into the preceding conv:
+#   g = scale * rsqrt(var + eps);  kernel' = kernel * g;  bias' = bias - mean*g
+# The per-op TPU profile (benchmarks/profile_cnn.py) showed ~13.4 ms of a
+# 27.2 ms B=320 bf16 forward in standalone HBM-bound add/maximum fusions —
+# the BN affines, biases, residual adds and ReLUs that XLA does NOT fuse
+# into its conv custom-calls. Folding kills the BN ops, and the Pallas
+# fused 1x1-conv kernel (ops/conv1x1_pallas.py) applies bias + residual +
+# ReLU to the VMEM-resident matmul accumulator, so bottleneck tails never
+# round-trip through HBM.
+
+
+def fold_bn(params: Dict) -> Dict:
+    """Fold frozen BN stats into conv kernels → {kernel|w, bias} tree.
+
+    1x1 convs are stored as 2-D ``w: (Cin, Cout)`` matrices ready for the
+    Pallas matmul kernel; the stem 7x7 and bottleneck 3x3 convs keep HWIO
+    kernels for XLA's conv path.
+    """
+
+    def fold(conv: dict, bn: dict, *, as_matrix: bool) -> dict:
+        g = bn["scale"] * jax.lax.rsqrt(bn["var"] + BN_EPS)
+        kernel = conv["kernel"] * g  # broadcast over trailing (cout) axis
+        bias = bn["bias"] - bn["mean"] * g
+        if as_matrix:
+            kh, kw, cin, cout = kernel.shape
+            assert kh == kw == 1
+            return {"w": kernel.reshape(cin, cout), "b": bias}
+        return {"kernel": kernel, "b": bias}
+
+    folded: Dict = {
+        "conv1": fold(params["conv1"], params["bn1"], as_matrix=False),
+        "stages": [],
+    }
+    for blocks in params["stages"]:
+        fblocks = []
+        for block in blocks:
+            fb = {
+                "conv1": fold(block["conv1"], block["bn1"], as_matrix=True),
+                "conv2": fold(block["conv2"], block["bn2"], as_matrix=False),
+                "conv3": fold(block["conv3"], block["bn3"], as_matrix=True),
+            }
+            if "downsample_conv" in block:
+                fb["downsample"] = fold(
+                    block["downsample_conv"], block["downsample_bn"],
+                    as_matrix=True,
+                )
+            fblocks.append(fb)
+        folded["stages"].append(fblocks)
+    return folded
+
+
+def _c1x1(
+    x: Array, p: dict, *, stride: int = 1, relu: bool = True,
+    residual: Array = None, use_pallas: bool = True,
+) -> Array:
+    """Folded 1x1 conv + bias [+ residual] [+ ReLU]; Pallas when legal."""
+    if use_pallas:
+        from ...ops.conv1x1_pallas import conv1x1
+
+        out = conv1x1(x, p["w"], p["b"], residual,
+                      stride=stride, relu=relu)
+        if out is not None:
+            return out
+    cin, cout = p["w"].shape
+    y = jax.lax.conv_general_dilated(
+        x, p["w"].reshape(1, 1, cin, cout), (stride, stride), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + p["b"]
+    if residual is not None:
+        y = y + residual
+    return jnp.maximum(y, 0.0) if relu else y
+
+
+def _bottleneck_folded(
+    block: dict, x: Array, stride: int, use_pallas: bool
+) -> Array:
+    y = _c1x1(x, block["conv1"], use_pallas=use_pallas)
+    y = _conv({"kernel": block["conv2"]["kernel"]}, y, stride=stride)
+    y = jnp.maximum(y + block["conv2"]["b"], 0.0)
+    if "downsample" in block:
+        identity = _c1x1(x, block["downsample"], stride=stride, relu=False,
+                         use_pallas=use_pallas)
+    else:
+        identity = x
+    return _c1x1(y, block["conv3"], residual=identity, use_pallas=use_pallas)
+
+
+def apply_resnet50_folded(
+    folded: Dict, images: Array, *, use_pallas: bool = True
+) -> Array:
+    """BN-folded inference forward; numerics match :func:`apply_resnet50`
+    to fp32 rounding (gated in tests/test_backbones.py). images:
+    (B, 224, 224, 3) normalized float → (B, 2048)."""
+    x = jax.lax.conv_general_dilated(
+        images, folded["conv1"]["kernel"], window_strides=(2, 2),
+        padding=[(3, 3), (3, 3)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    x = jnp.maximum(x + folded["conv1"]["b"], 0.0)
+    x = jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max,
+        window_dimensions=(1, 3, 3, 1), window_strides=(1, 2, 2, 1),
+        padding=[(0, 0), (1, 1), (1, 1), (0, 0)],
+    )
+    for stage_idx, blocks in enumerate(folded["stages"]):
+        for b, block in enumerate(blocks):
+            stride = 2 if (stage_idx > 0 and b == 0) else 1
+            x = _bottleneck_folded(block, x, stride, use_pallas)
+    return jnp.mean(x, axis=(1, 2))
+
+
 def load_torch_resnet50(state: Dict[str, np.ndarray]) -> Dict:
     """Convert a torchvision resnet50 state dict to our pytree."""
 
