@@ -38,11 +38,13 @@ class VideoFeatureExtractor:
         img_size: tuple = (224, 224),
         weights_path: Optional[Path] = None,
         allow_random_init: bool = False,
+        num_workers: int = 8,
     ):
         from ..models.backbones import FeatureExtractor
 
         self.frames_per_video = frames_per_video
         self.img_size = img_size
+        self.num_workers = num_workers
         self.backbone = FeatureExtractor(
             model_type, None, weights_path=weights_path, batch_size=batch_size,
             allow_random_init=allow_random_init,
@@ -76,19 +78,54 @@ class VideoFeatureExtractor:
 
         output_dir.mkdir(parents=True, exist_ok=True)
         processed, failed = [], []
+        pending: List[Path] = []
         for video_path in video_files:
             out_path = output_dir / f"{video_path.stem}.npy"
             if out_path.exists() and not overwrite:
                 logger.info(f"Skipping existing features: {out_path}")
                 processed.append(out_path)
-                continue
-            try:
-                features = self.extract_video_features(video_path)
-                np.save(out_path, features)
-                processed.append(out_path)
-            except Exception as e:
-                logger.error(f"Failed to process {video_path}: {e}")
-                failed.append(video_path)
+            else:
+                pending.append(video_path)
+
+        # Worker-pool decode overlapped with on-device extraction: videos
+        # decode concurrently (threads; cv2 drops the GIL) and the CNN
+        # consumes each clip as its decode finishes, in submission order.
+        # The reference decodes and extracts strictly serially
+        # (preprocess.py:177-226).
+        from concurrent.futures import ThreadPoolExecutor
+
+        from ..data.video import extract_frames
+
+        def decode(path):
+            return extract_frames(
+                path, self.frames_per_video,
+                resize=self.img_size, pad_mode="last",
+            )
+
+        from collections import deque
+
+        window = 2 * max(1, self.num_workers)  # bounds decoded-frame RAM
+        with ThreadPoolExecutor(max_workers=max(1, self.num_workers)) as ex:
+            queue: deque = deque()
+            it = iter(pending)
+
+            def drain_one():
+                video_path, fut = queue.popleft()
+                out_path = output_dir / f"{video_path.stem}.npy"
+                try:
+                    features = self.backbone.extract(fut.result())
+                    np.save(out_path, features)
+                    processed.append(out_path)
+                except Exception as e:
+                    logger.error(f"Failed to process {video_path}: {e}")
+                    failed.append(video_path)
+
+            for p in it:
+                queue.append((p, ex.submit(decode, p)))
+                if len(queue) >= window:
+                    drain_one()
+            while queue:
+                drain_one()
 
         logger.info(f"Successfully processed {len(processed)} videos")
         if failed:
@@ -171,6 +208,8 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Proceed without pretrained weights (random CNN; "
                              "features are meaningless for caption quality)")
     parser.add_argument("--batch-size", type=int, default=32, help="Batch size for processing")
+    parser.add_argument("--num-workers", type=int, default=8,
+                        help="Concurrent video-decode threads (host side)")
     parser.add_argument("--frames-per-video", type=int, default=80, help="Number of frames per video")
     parser.add_argument("--img-size", type=int, nargs=2, default=[224, 224], help="Image size for CNN")
     parser.add_argument("--device", type=str, help="Platform override (tpu/cpu)")
@@ -208,6 +247,7 @@ def main(argv=None) -> None:
         img_size=tuple(args.img_size),
         weights_path=Path(args.weights) if args.weights else None,
         allow_random_init=args.allow_random_init,
+        num_workers=args.num_workers,
     )
 
     logger.info("Starting feature extraction...")

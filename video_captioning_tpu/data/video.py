@@ -94,6 +94,40 @@ def extract_frames(
     return np.stack(frames[:num_frames])
 
 
+def extract_frames_batch(
+    video_paths,
+    num_frames: int = 80,
+    *,
+    resize: Optional[Tuple[int, int]] = None,
+    pad_mode: str = "last",
+    num_workers: int = 8,
+) -> List[np.ndarray]:
+    """Decode many videos concurrently with a thread pool.
+
+    OpenCV's decoder releases the GIL inside ``cap.read``, so threads give
+    near-linear scaling without process-spawn/pickling overhead. The
+    reference decodes strictly serially (preprocess.py:177-226); on a real
+    host the north-star pipeline is decode-bound, so this is where wall
+    clock goes. Order of results matches ``video_paths``.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    if num_workers <= 1:
+        return [
+            extract_frames(p, num_frames, resize=resize, pad_mode=pad_mode)
+            for p in video_paths
+        ]
+    with ThreadPoolExecutor(max_workers=num_workers) as ex:
+        return list(
+            ex.map(
+                lambda p: extract_frames(
+                    p, num_frames, resize=resize, pad_mode=pad_mode
+                ),
+                video_paths,
+            )
+        )
+
+
 def pixel_stub_features(
     frames: np.ndarray, feature_dim: int = 4096
 ) -> np.ndarray:
@@ -143,3 +177,37 @@ class VideoFrameDataset:
             "video_path": str(path),
             "video_id": path.stem,
         }
+
+    def iter_batches(self, batch_size: int, num_workers: int = 8):
+        """Yield batches of items with worker-pool decode + one-batch
+        prefetch: batch N+1 decodes while the caller consumes batch N
+        (replaces the reference DataLoader's ``num_workers``)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        chunks = [
+            self.video_paths[i : i + batch_size]
+            for i in range(0, len(self.video_paths), batch_size)
+        ]
+
+        def decode_chunk(paths):
+            frames = extract_frames_batch(
+                paths,
+                self.config.data.frames_per_video,
+                resize=tuple(self.config.data.img_size),
+                pad_mode="zero",
+                num_workers=num_workers,
+            )
+            return [
+                {"frames": f, "video_path": str(p), "video_id": Path(p).stem}
+                for f, p in zip(frames, paths)
+            ]
+
+        with ThreadPoolExecutor(max_workers=1) as prefetcher:
+            pending = None
+            for chunk in chunks:
+                fut = prefetcher.submit(decode_chunk, chunk)
+                if pending is not None:
+                    yield pending.result()
+                pending = fut
+            if pending is not None:
+                yield pending.result()
