@@ -35,6 +35,64 @@ def caption_for(s: str, v: str, p: str) -> str:
     return f"a {s} is {v} in the {p}"
 
 
+# MSVD-shaped paraphrase templates: each clip carries several equally-valid
+# captions (MSVD has ~40/clip); training sees every paraphrase as its own
+# (video, caption) row and evaluation scores against the whole group via
+# compute_metrics_multi_reference (the API built for this dataset shape).
+TEMPLATES = (
+    "a {s} is {v} in the {p}",
+    "the {s} is {v} at the {p}",
+    "one {s} is {v} by the {p}",
+)
+
+
+def captions_for(s: str, v: str, p: str):
+    return [t.format(s=s, v=v, p=p) for t in TEMPLATES]
+
+
+def build_multiref_dataset(
+    feat_dim: int,
+    frames: int,
+    noise: float = 0.05,
+    clips_per_combo: int = 2,
+    holdout_every: int = 4,
+    seed: int = 0,
+):
+    """Multi-reference variant of :func:`build_dataset`.
+
+    Returns (train_rows, heldout_rows) where train rows are
+    (features, caption) — one row per (clip, paraphrase), MSVD-shaped —
+    and heldout rows are (features, [all reference captions])."""
+    rs = np.random.RandomState(seed)
+    pat = {
+        "s": {w: rs.randn(feat_dim).astype(np.float32) for w in SUBJECTS},
+        "v": {w: rs.randn(feat_dim).astype(np.float32) for w in VERBS},
+        "p": {w: rs.randn(feat_dim).astype(np.float32) for w in PLACES},
+    }
+    third = frames // 3
+
+    def clip(s, v, p, rng):
+        f = rng.randn(frames, feat_dim).astype(np.float32) * noise
+        f[:third] += pat["s"][s]
+        f[third : 2 * third] += pat["v"][v]
+        f[2 * third :] += pat["p"][p]
+        return f
+
+    combos = list(itertools.product(SUBJECTS, VERBS, PLACES))
+    rs.shuffle(combos)
+    train, heldout = [], []
+    for i, (s, v, p) in enumerate(combos):
+        refs = captions_for(s, v, p)
+        if i % holdout_every == 0:
+            heldout.append((clip(s, v, p, rs), refs))
+        else:
+            for _ in range(clips_per_combo):
+                f = clip(s, v, p, rs)
+                for cap in refs:
+                    train.append((f, cap))
+    return train, heldout
+
+
 def build_dataset(
     feat_dim: int,
     frames: int,
