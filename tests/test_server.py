@@ -1,0 +1,139 @@
+"""Caption server + dynamic batcher: results match the direct predictor,
+concurrent requests coalesce into one device batch, errors surface as
+HTTP codes (round-3 production-serving path)."""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax
+
+
+@pytest.fixture(scope="module")
+def served(tmp_path_factory):
+    from video_captioning_tpu.config import Config
+    from video_captioning_tpu.data.vocabulary import Vocabulary
+    from video_captioning_tpu.inference import VideoCaptionPredictor
+    from video_captioning_tpu.inference.server import CaptionServer
+    from video_captioning_tpu.models import init_model
+    from video_captioning_tpu.utils.checkpoint import CheckpointManager
+
+    tmp = tmp_path_factory.mktemp("server")
+    cfg = Config()
+    cfg.model.cnn_feature_dim = 24
+    cfg.model.encoder_hidden_dim = 16
+    cfg.model.encoder_num_layers = 2
+    cfg.model.decoder_hidden_dim = 16
+    cfg.model.decoder_num_layers = 2
+    cfg.model.embedding_dim = 12
+    cfg.model.attention_dim = 16
+    cfg.model.max_sequence_length = 8
+    cfg.model.video_sequence_length = 10
+    cfg.data.frames_per_video = 10
+    cfg.data.vocab_threshold = 1
+    cfg.validate()
+    vocab = Vocabulary(cfg)
+    vocab.build_vocabulary(["a man rides a horse", "a dog runs fast"])
+    params = init_model(jax.random.PRNGKey(5), cfg, len(vocab))
+    pkg = CheckpointManager(tmp).save_model_for_inference(params, vocab, cfg)
+
+    predictor = VideoCaptionPredictor(pkg)
+    server = CaptionServer(predictor, port=0, max_batch=8, max_wait_ms=30.0)
+    server.start()
+    yield server, predictor
+    server.close()
+
+
+def _post(port, path, payload):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=60) as resp:
+        return json.loads(resp.read())
+
+
+def test_healthz(served):
+    server, _ = served
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{server.port}/healthz", timeout=10
+    ) as resp:
+        payload = json.loads(resp.read())
+    assert payload["status"] == "ok"
+
+
+def test_single_matches_direct_predictor(served):
+    server, predictor = served
+    feats = np.random.RandomState(0).randn(7, 24).astype(np.float32)
+    via_http = _post(server.port, "/caption",
+                     {"features": feats.tolist(), "method": "beam",
+                      "beam_size": 3, "max_length": 6})
+    direct = predictor.predict_from_features(
+        feats, method="beam", beam_size=3, max_length=6)
+    assert via_http["tokens"] == direct["tokens"]
+    assert via_http["caption"] == direct["caption"]
+
+
+def test_batch_endpoint(served):
+    server, predictor = served
+    rs = np.random.RandomState(1)
+    items = [{"features": rs.randn(5 + i, 24).astype(np.float32).tolist()}
+             for i in range(3)]
+    out = _post(server.port, "/caption_batch",
+                {"items": items, "method": "greedy", "max_length": 6})
+    assert len(out["results"]) == 3
+    for r in out["results"]:
+        assert "caption" in r and "tokens" in r
+
+
+def test_concurrent_requests_coalesce(served):
+    server, _ = served
+    before = dict(server.batcher.stats)
+    rs = np.random.RandomState(2)
+    payloads = [
+        {"features": rs.randn(6, 24).astype(np.float32).tolist(),
+         "method": "greedy", "max_length": 6}
+        for _ in range(6)
+    ]
+    results = [None] * 6
+    errors = []
+
+    def call(i):
+        try:
+            results[i] = _post(server.port, "/caption", payloads[i])
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert all(r is not None and "caption" in r for r in results)
+    after = server.batcher.stats
+    new_requests = after["requests"] - before["requests"]
+    new_batches = after["batches"] - before["batches"]
+    assert new_requests == 6
+    # 6 concurrent requests must NOT take 6 device batches (max_wait 30ms
+    # coalesces them; allow up to 3 for scheduling jitter).
+    assert new_batches <= 3, (before, after)
+
+
+def test_bad_requests_get_4xx(served):
+    server, _ = served
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server.port, "/caption", {"method": "greedy"})
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server.port, "/caption",
+              {"features": [[1.0, 2.0]], "method": "bogus"})
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server.port, "/nope", {})
+    assert e.value.code == 404

@@ -1,0 +1,89 @@
+"""Serve CLI: HTTP captioning daemon with dynamic batching.
+
+Production serving entry point (the reference stops at a script-level
+predictor; see inference/server.py for the batching design):
+
+    python -m video_captioning_tpu.cli.serve \
+        --model-path checkpoints/model_for_inference.pth \
+        --port 8080 --max-batch 64 --max-wait-ms 5 \
+        [--compute-dtype bfloat16] [--data-parallel]
+
+``--data-parallel`` builds a (n_devices, 1) ``(data, model)`` mesh and
+shards every device batch over all visible chips (predictor ``mesh=``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+from pathlib import Path
+
+from ..utils.logging import setup_logging
+
+logger = logging.getLogger(__name__)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="HTTP captioning server with dynamic batching")
+    parser.add_argument("--model-path", type=str, required=True)
+    parser.add_argument("--host", type=str, default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8080)
+    parser.add_argument("--max-batch", type=int, default=64,
+                        help="Max clips per device batch")
+    parser.add_argument("--max-wait-ms", type=float, default=5.0,
+                        help="Max time a lone request waits for batchmates")
+    parser.add_argument("--compute-dtype", type=str, default=None,
+                        choices=[None, "float32", "bfloat16"],
+                        help="bfloat16 halves decode HBM traffic")
+    parser.add_argument("--data-parallel", action="store_true",
+                        help="Shard device batches over all visible chips")
+    parser.add_argument("--compilation-cache-dir", type=str, default=None)
+    parser.add_argument("--device", type=str, help="Platform override")
+    parser.add_argument("--log-level", type=str, default="INFO")
+    return parser
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    setup_logging(args.log_level)
+
+    import jax
+
+    if args.device:
+        jax.config.update("jax_platforms", args.device)
+
+    from ..inference.predictor import VideoCaptionPredictor
+    from ..inference.server import CaptionServer
+
+    mesh = None
+    if args.data_parallel:
+        import numpy as np
+        from jax.sharding import Mesh
+
+        devices = jax.devices()
+        mesh = Mesh(np.asarray(devices).reshape(len(devices), 1),
+                    ("data", "model"))
+        logger.info(f"data-parallel serving over {len(devices)} devices")
+
+    predictor = VideoCaptionPredictor(
+        Path(args.model_path),
+        compute_dtype=args.compute_dtype,
+        compilation_cache_dir=args.compilation_cache_dir,
+        mesh=mesh,
+    )
+    server = CaptionServer(
+        predictor, host=args.host, port=args.port,
+        max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,
+    )
+    print(f"caption server listening on {args.host}:{server.port}",
+          flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        logger.info("shutting down")
+        server.close()
+
+
+if __name__ == "__main__":
+    main()
