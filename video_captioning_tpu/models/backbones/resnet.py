@@ -205,21 +205,45 @@ def _c1x1(
 
 
 def _bottleneck_folded(
-    block: dict, x: Array, stride: int, use_pallas: bool
+    block: dict, x: Array, stride: int, use_pallas: bool,
+    interpret: bool = False,
 ) -> Array:
-    y = _c1x1(x, block["conv1"], use_pallas=use_pallas)
+    if use_pallas and stride == 1 and "downsample" not in block:
+        # Stride-1 identity-residual block (13 of 16): the whole
+        # 1x1 -> 3x3 -> 1x1 + residual + relu chain runs as ONE Pallas
+        # kernel with intermediates VMEM-resident (~3x less HBM traffic
+        # for a stage-1 block; ops/bottleneck_pallas.py).
+        from ...ops.bottleneck_pallas import batch_tile, fused_bottleneck
+
+        B, H, W, C = x.shape
+        Cm = block["conv1"]["w"].shape[1]
+        if batch_tile(B, H, W, C, Cm, x.dtype.itemsize) is not None:
+            w2 = block["conv2"]["kernel"]  # (3, 3, Cm, Cm) HWIO
+            return fused_bottleneck(
+                x,
+                block["conv1"]["w"], block["conv1"]["b"],
+                w2, block["conv2"]["b"],
+                block["conv3"]["w"], block["conv3"]["b"],
+                interpret=interpret,
+            )
+    # Non-qualifying blocks take the XLA path: the per-conv Pallas 1x1
+    # kernel measured SLOWER than XLA's conv custom-call at model scale
+    # (layout round-trips; docs/PERFORMANCE.md negative results), so
+    # use_pallas only selects the fused whole-block kernel above.
+    y = _c1x1(x, block["conv1"], use_pallas=False)
     y = _conv({"kernel": block["conv2"]["kernel"]}, y, stride=stride)
     y = jnp.maximum(y + block["conv2"]["b"], 0.0)
     if "downsample" in block:
         identity = _c1x1(x, block["downsample"], stride=stride, relu=False,
-                         use_pallas=use_pallas)
+                         use_pallas=False)
     else:
         identity = x
-    return _c1x1(y, block["conv3"], residual=identity, use_pallas=use_pallas)
+    return _c1x1(y, block["conv3"], residual=identity, use_pallas=False)
 
 
 def apply_resnet50_folded(
-    folded: Dict, images: Array, *, use_pallas: bool = True
+    folded: Dict, images: Array, *, use_pallas: bool = True,
+    interpret: bool = False,
 ) -> Array:
     """BN-folded inference forward; numerics match :func:`apply_resnet50`
     to fp32 rounding (gated in tests/test_backbones.py). images:
@@ -238,7 +262,7 @@ def apply_resnet50_folded(
     for stage_idx, blocks in enumerate(folded["stages"]):
         for b, block in enumerate(blocks):
             stride = 2 if (stage_idx > 0 and b == 0) else 1
-            x = _bottleneck_folded(block, x, stride, use_pallas)
+            x = _bottleneck_folded(block, x, stride, use_pallas, interpret)
     return jnp.mean(x, axis=(1, 2))
 
 
