@@ -57,6 +57,12 @@ def main():
     def apply_resnet50_fp(params, x):
         return apply_resnet50_folded(params, x, use_pallas=True)
 
+    def apply_resnet50_s2d(params, x):
+        return apply_resnet50_folded(params, x, use_pallas=False, stem_s2d=True)
+
+    def apply_resnet50_fp_s2d(params, x):
+        return apply_resnet50_folded(params, x, use_pallas=True, stem_s2d=True)
+
     def init_folded(key):
         return fold_bn(init_resnet50(key))
 
@@ -64,11 +70,14 @@ def main():
         ("resnet50", init_resnet50, apply_resnet50, 2048),
         ("resnet50_folded", init_folded, apply_resnet50_f, 2048),
         ("resnet50_fused", init_folded, apply_resnet50_fp, 2048),
+        ("resnet50_s2d", init_folded, apply_resnet50_s2d, 2048),
+        ("resnet50_fused_s2d", init_folded, apply_resnet50_fp_s2d, 2048),
         ("vgg16", init_vgg16, apply_vgg16, 4096),
     ]:
         for dtype_name, dtype in [("bfloat16", jnp.bfloat16), ("float32", jnp.float32)]:
-            if name == "resnet50_fused" and dtype_name == "float32":
-                continue  # bf16 is the serving dtype for the fused path
+            if name in ("resnet50_fused", "resnet50_s2d", "resnet50_fused_s2d") \
+                    and dtype_name == "float32":
+                continue  # bf16 is the serving dtype for the fused/s2d paths
             cnn = _cast(init_fn(jax.random.PRNGKey(1)), dtype)
 
             @jax.jit

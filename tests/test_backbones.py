@@ -339,3 +339,45 @@ def test_resnet50_fused_pallas_path_matches_unfolded():
     # amplifying rounding; realistic-weight parity is covered by the
     # torch-oracle folded test above.
     np.testing.assert_allclose(got, ref, rtol=2e-3, atol=1e-5)
+
+
+def test_resnet50_s2d_stem_matches_unfolded():
+    """Space-to-depth stem (4x4/1 conv over 2x2-cell input) is an exact
+    rewrite of the 7x7/2 pad-3 stem conv — zero taps added, same math."""
+    from video_captioning_tpu.models.backbones.resnet import (
+        apply_resnet50,
+        apply_resnet50_folded,
+        fold_bn,
+    )
+
+    params = _randomized_resnet_params(seed=3)
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 64, 64, 3))
+    ref = np.asarray(apply_resnet50(params, x))
+    got = np.asarray(
+        apply_resnet50_folded(fold_bn(params), x, use_pallas=False,
+                              stem_s2d=True)
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-5)
+
+
+def test_s2d_stem_conv_exact():
+    """Stem-conv-only equivalence at tight tolerance (single conv, so only
+    conv-algorithm accumulation order can differ)."""
+    from video_captioning_tpu.models.backbones.resnet import (
+        _s2d_stem_input,
+        _s2d_stem_kernel,
+    )
+
+    k = jax.random.normal(jax.random.PRNGKey(5), (7, 7, 3, 64))
+    x = jax.random.normal(jax.random.PRNGKey(6), (2, 224, 224, 3))
+    ref = jax.lax.conv_general_dilated(
+        x, k, (2, 2), [(3, 3), (3, 3)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    got = jax.lax.conv_general_dilated(
+        _s2d_stem_input(x), _s2d_stem_kernel(k), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    assert got.shape == ref.shape == (2, 112, 112, 64)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)

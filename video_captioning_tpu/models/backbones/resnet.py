@@ -164,6 +164,18 @@ def fold_bn(params: Dict) -> Dict:
         "conv1": fold(params["conv1"], params["bn1"], as_matrix=False),
         "stages": [],
     }
+    # Space-to-depth stem (MLPerf ResNet TPU recipe): the 7x7/2 conv on 3
+    # channels maps poorly onto the 128-lane MXU (contraction dim 147,
+    # tiny channel axis). Rewriting it as a 4x4/1 conv over a 2x2
+    # space-to-depth transform of the input (12 channels) is numerically
+    # EXACT — the extra kernel taps are zeros:
+    #   y[i,j] = sum_{dy,dx<7} K[dy,dx] X[2i+dy-3, 2j+dx-3]
+    # Pad K to 8x8 with a zero top row/left col, pad X by (4, 2); then
+    # dy' = 2cy+py gives a 4x4 cell conv over Z[u,v,(py,px,c)].
+    folded["conv1_s2d"] = {
+        "kernel": _s2d_stem_kernel(folded["conv1"]["kernel"]),
+        "b": folded["conv1"]["b"],
+    }
     for blocks in params["stages"]:
         fblocks = []
         for block in blocks:
@@ -180,6 +192,32 @@ def fold_bn(params: Dict) -> Dict:
             fblocks.append(fb)
         folded["stages"].append(fblocks)
     return folded
+
+
+def _s2d_stem_kernel(kernel: Array) -> Array:
+    """(7, 7, cin, cout) stride-2 stem kernel → (4, 4, 4*cin, cout) for a
+    stride-1 conv over the 2x2 space-to-depth input (see fold_bn note)."""
+    kh, kw, cin, cout = kernel.shape
+    assert kh == 7 and kw == 7, (kh, kw)
+    kp = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))  # 8x8
+    return (
+        kp.reshape(4, 2, 4, 2, cin, cout)      # (cy, py, cx, px, cin, cout)
+        .transpose(0, 2, 1, 3, 4, 5)           # (cy, cx, py, px, cin, cout)
+        .reshape(4, 4, 4 * cin, cout)
+    )
+
+
+def _s2d_stem_input(images: Array) -> Array:
+    """(B, H, W, C) → (B, (H+6)/2, (W+6)/2, 4C) padded space-to-depth view
+    whose 4x4 VALID conv with :func:`_s2d_stem_kernel` equals the 7x7/2
+    pad-3 stem conv exactly."""
+    xq = jnp.pad(images, ((0, 0), (4, 2), (4, 2), (0, 0)))
+    B, H, W, C = xq.shape
+    return (
+        xq.reshape(B, H // 2, 2, W // 2, 2, C)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(B, H // 2, W // 2, 4 * C)
+    )
 
 
 def _c1x1(
@@ -243,16 +281,23 @@ def _bottleneck_folded(
 
 def apply_resnet50_folded(
     folded: Dict, images: Array, *, use_pallas: bool = True,
-    interpret: bool = False,
+    stem_s2d: bool = False, interpret: bool = False,
 ) -> Array:
     """BN-folded inference forward; numerics match :func:`apply_resnet50`
     to fp32 rounding (gated in tests/test_backbones.py). images:
     (B, 224, 224, 3) normalized float → (B, 2048)."""
-    x = jax.lax.conv_general_dilated(
-        images, folded["conv1"]["kernel"], window_strides=(2, 2),
-        padding=[(3, 3), (3, 3)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
+    if stem_s2d and "conv1_s2d" in folded:
+        x = jax.lax.conv_general_dilated(
+            _s2d_stem_input(images), folded["conv1_s2d"]["kernel"],
+            window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+    else:
+        x = jax.lax.conv_general_dilated(
+            images, folded["conv1"]["kernel"], window_strides=(2, 2),
+            padding=[(3, 3), (3, 3)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
     x = jnp.maximum(x + folded["conv1"]["b"], 0.0)
     x = jax.lax.reduce_window(
         x, -jnp.inf, jax.lax.max,
