@@ -381,3 +381,56 @@ def test_s2d_stem_conv_exact():
     assert got.shape == ref.shape == (2, 112, 112, 64)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_feature_extractor_variants_agree():
+    """The folded / fused / s2d FeatureExtractor variants return the same
+    features as the default XLA path (same seed → same weights)."""
+    from video_captioning_tpu.config import Config
+    from video_captioning_tpu.models.backbones import FeatureExtractor
+
+    frames = np.random.RandomState(1).randint(0, 255, (4, 64, 64, 3), np.uint8)
+    base = FeatureExtractor("resnet50", None, batch_size=4,
+                            allow_random_init=True, seed=9)
+    ref = base.extract(frames)
+
+    cfg = Config()
+    cfg.kernels.interpret = True  # fused bottleneck kernel on CPU
+    for variant in ("folded", "fused", "fused_s2d"):
+        fx = FeatureExtractor("resnet50", cfg, batch_size=4,
+                              allow_random_init=True, seed=9, variant=variant)
+        got = fx.extract(frames)
+        np.testing.assert_allclose(got, ref, rtol=2e-3, atol=1e-4,
+                                   err_msg=variant)
+
+
+def test_feature_extractor_variant_from_config():
+    from video_captioning_tpu.config import Config
+    from video_captioning_tpu.models.backbones import FeatureExtractor
+
+    cfg = Config()
+    cfg.kernels.resnet50_variant = "folded"
+    fx = FeatureExtractor("resnet50", cfg, batch_size=4,
+                          allow_random_init=True)
+    assert fx.variant == "folded"
+    with pytest.raises(ValueError, match="no 'folded' variant"):
+        FeatureExtractor("vgg16", None, allow_random_init=True,
+                         variant="folded")
+    with pytest.raises(ValueError, match="compute_dtype"):
+        FeatureExtractor("resnet50", None, allow_random_init=True,
+                         compute_dtype="float16")
+
+
+def test_feature_extractor_bf16_compute():
+    from video_captioning_tpu.models.backbones import FeatureExtractor
+
+    frames = np.random.RandomState(2).randint(0, 255, (4, 64, 64, 3), np.uint8)
+    f32 = FeatureExtractor("resnet50", None, batch_size=4,
+                           allow_random_init=True, seed=9)
+    bf = FeatureExtractor("resnet50", None, batch_size=4,
+                          allow_random_init=True, seed=9,
+                          compute_dtype="bfloat16")
+    a, b = f32.extract(frames), bf.extract(frames)
+    assert b.dtype == np.float32  # outputs always fp32
+    # bf16 compute through 50 layers: loose agreement only.
+    assert np.mean(np.abs(a - b)) / (np.mean(np.abs(a)) + 1e-6) < 0.15

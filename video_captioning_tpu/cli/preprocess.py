@@ -39,6 +39,8 @@ class VideoFeatureExtractor:
         weights_path: Optional[Path] = None,
         allow_random_init: bool = False,
         num_workers: int = 8,
+        variant: Optional[str] = None,
+        compute_dtype: Optional[str] = None,
     ):
         from ..models.backbones import FeatureExtractor
 
@@ -48,6 +50,7 @@ class VideoFeatureExtractor:
         self.backbone = FeatureExtractor(
             model_type, None, weights_path=weights_path, batch_size=batch_size,
             allow_random_init=allow_random_init,
+            variant=variant, compute_dtype=compute_dtype,
         )
         logger.info(f"Initialized {model_type} feature extractor")
 
@@ -208,6 +211,14 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Proceed without pretrained weights (random CNN; "
                              "features are meaningless for caption quality)")
     parser.add_argument("--batch-size", type=int, default=32, help="Batch size for processing")
+    parser.add_argument("--backbone-variant", type=str, default=None,
+                        choices=["xla", "folded", "fused", "fused_s2d"],
+                        help="ResNet50 forward variant (BN-folded / fused "
+                             "Pallas bottleneck / space-to-depth stem); "
+                             "default xla")
+    parser.add_argument("--compute-dtype", type=str, default=None,
+                        choices=["float32", "bfloat16"],
+                        help="CNN compute dtype (default float32)")
     parser.add_argument("--num-workers", type=int, default=8,
                         help="Concurrent video-decode threads (host side)")
     parser.add_argument("--frames-per-video", type=int, default=80, help="Number of frames per video")
@@ -248,6 +259,8 @@ def main(argv=None) -> None:
         weights_path=Path(args.weights) if args.weights else None,
         allow_random_init=args.allow_random_init,
         num_workers=args.num_workers,
+        variant=args.backbone_variant,
+        compute_dtype=args.compute_dtype,
     )
 
     logger.info("Starting feature extraction...")

@@ -200,6 +200,16 @@ class KernelConfig:
     # context fp32. Opt-in: slightly perturbs scores, so token-level parity
     # holds only with it off.
     attention_score_bf16: bool = False
+    # ResNet50 inference-forward variant (models/backbones/resnet.py):
+    #   xla       - per-op conv+BN+ReLU graph (reference-shaped)
+    #   folded    - frozen BN folded into conv weights (fewer HBM-bound
+    #               elementwise ops; fp32-rounding-level numerics delta)
+    #   fused     - folded + whole-bottleneck Pallas kernel for stride-1
+    #               identity blocks (intermediates VMEM-resident)
+    #   fused_s2d - fused + exact space-to-depth stem rewrite
+    # All variants are parity-gated in tests/test_backbones.py; the
+    # default stays "xla" until the on-chip A/B picks a winner.
+    resnet50_variant: str = "xla"
 
 
 @dataclass
@@ -270,6 +280,10 @@ class Config:
             raise ValueError(
                 f"context_axis {self.parallel.context_axis!r} is not one of "
                 f"axis_names {self.parallel.axis_names}"
+            )
+        if self.kernels.resnet50_variant not in ("xla", "folded", "fused", "fused_s2d"):
+            raise ValueError(
+                f"Unknown resnet50_variant: {self.kernels.resnet50_variant}"
             )
         if self.training.grad_accum_steps < 1:
             raise ValueError("grad_accum_steps must be >= 1")

@@ -51,8 +51,13 @@ class VideoCaptionPredictor:
         mesh=None,
     ):
         """compute_dtype: "bfloat16" casts params once for ~2x lower HBM
-        traffic in the decode loops (token parity is only guaranteed in the
-        default float32).
+        traffic in the decode loops (+~7% beam-5 throughput). Token parity
+        is only guaranteed in the default float32: the measured worst-case
+        divergence (random-init weights, 10k full-length decodes,
+        benchmarks/bf16_parity_gate.py) is 6.8% of clips for greedy and
+        43.2% for beam-5; trained models diverge far less, but any bf16
+        parameter rounding can flip near-ties, so keep fp32 wherever
+        bit-parity matters.
 
         compilation_cache_dir: deployment-level persistent-XLA-cache path.
         The value embedded in the trained model package is deliberately

@@ -52,6 +52,8 @@ class FeatureExtractor:
         batch_size: int = 32,
         seed: int = 0,
         allow_random_init: bool = False,
+        variant: Optional[str] = None,
+        compute_dtype: Optional[str] = None,
     ):
         model_type = model_type.lower()
         if model_type not in FEATURE_DIMS:
@@ -60,6 +62,26 @@ class FeatureExtractor:
         self.feature_dim = FEATURE_DIMS[model_type]
         self.batch_size = batch_size
         self.config = config
+
+        # ResNet50 forward variant (xla | folded | fused | fused_s2d —
+        # see KernelConfig.resnet50_variant); VGG16 has no BN to fold so
+        # only "xla" applies.
+        if variant is None:
+            variant = (
+                config.kernels.resnet50_variant
+                if config is not None and model_type == "resnet50"
+                else "xla"
+            )
+        if model_type == "vgg16" and variant != "xla":
+            raise ValueError(f"VGG16 has no {variant!r} variant (no BN to fold)")
+        if variant not in ("xla", "folded", "fused", "fused_s2d"):
+            raise ValueError(f"Unknown resnet50 variant: {variant}")
+        self.variant = variant
+        if compute_dtype is None:
+            compute_dtype = "float32"
+        if compute_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"Unknown compute_dtype: {compute_dtype}")
+        self.compute_dtype = jnp.dtype(compute_dtype)
 
         if weights_path is not None:
             from ...cli.convert_weights import is_native, load_native
@@ -100,13 +122,36 @@ class FeatureExtractor:
                 "caption quality)."
             )
 
-        apply = apply_vgg16 if model_type == "vgg16" else apply_resnet50
+        dtype = self.compute_dtype
+        if model_type == "vgg16" or variant == "xla":
+            apply = apply_vgg16 if model_type == "vgg16" else apply_resnet50
+            run_params = self.params
+        else:
+            from .resnet import apply_resnet50_folded, fold_bn
+
+            use_pallas = variant in ("fused", "fused_s2d")
+            stem_s2d = variant == "fused_s2d"
+            interpret = bool(config and config.kernels.interpret)
+
+            def apply(params, x):
+                return apply_resnet50_folded(
+                    params, x, use_pallas=use_pallas, stem_s2d=stem_s2d,
+                    interpret=interpret,
+                )
+
+            run_params = fold_bn(self.params)
+        if dtype != jnp.float32:
+            run_params = jax.tree_util.tree_map(
+                lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a,
+                run_params,
+            )
+        self._run_params = run_params
 
         def extract_batch(params, frames_u8):
             # Fused normalize: uint8 → float, /255, ImageNet mean/std.
-            x = frames_u8.astype(jnp.float32) / 255.0
-            x = (x - _IMAGENET_MEAN) / _IMAGENET_STD
-            return apply(params, x)
+            x = frames_u8.astype(dtype) / 255.0
+            x = (x - _IMAGENET_MEAN.astype(dtype)) / _IMAGENET_STD.astype(dtype)
+            return apply(params, x).astype(jnp.float32)
 
         self._extract = jax.jit(extract_batch)
 
@@ -123,7 +168,7 @@ class FeatureExtractor:
                 chunk = np.concatenate(
                     [chunk, np.zeros((bs - k,) + chunk.shape[1:], chunk.dtype)]
                 )
-            feats = np.asarray(self._extract(self.params, jnp.asarray(chunk)))
+            feats = np.asarray(self._extract(self._run_params, jnp.asarray(chunk)))
             outs.append(feats[:k])
         return np.concatenate(outs, axis=0)
 
@@ -138,7 +183,10 @@ def create_feature_extractor(
     weights_path: Optional[Path] = None,
     *,
     allow_random_init: bool = False,
+    variant: Optional[str] = None,
+    compute_dtype: Optional[str] = None,
 ) -> FeatureExtractor:
     """Factory (parity: reference encoder.py:205-226)."""
     return FeatureExtractor(model_type, config, weights_path=weights_path,
-                            allow_random_init=allow_random_init)
+                            allow_random_init=allow_random_init,
+                            variant=variant, compute_dtype=compute_dtype)
