@@ -31,7 +31,12 @@ import time
 from pathlib import Path
 
 BATCH = 256
-ITERS = 4  # batches per timed device call
+# Batches per timed device call. The dev tunnel charges ~35 ms RTT per
+# *call*; at ~22 ms device time per batch, ITERS=4 left ~10 ms/batch of
+# RTT in the number (measured 9.7k clips/s vs the true ~11.6k that
+# benchmarks/tpu_suite.py resolves with deep loops). 32 brings the RTT
+# share under 5% while keeping the timed call ~0.7 s.
+ITERS = 32
 BEAM = 5
 MAX_LEN = 20
 RUNS = 3

@@ -568,3 +568,34 @@ def test_fused_bottleneck_matches_xla_chain():
     got = fused_bottleneck(x, w1, b1, w2, b2, w3, b3, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_lstm_seq_kernel_small_batch_whole_dim_block():
+    """B=4 (not 8-divisible): the kernel must take the whole-dim row block
+    (block 1 with 1 < B < 8 is illegal in real Mosaic lowering — hit by
+    the 4-clip decode-pipeline path) and still match the scan."""
+    from video_captioning_tpu.models import layers
+    from video_captioning_tpu.ops.lstm_seq_pallas import lstm_seq_pallas
+
+    B, T, H = 4, 6, 16
+    fwd = layers.init_lstm_layer(jax.random.PRNGKey(3), H, H)
+    rs = np.random.RandomState(4)
+    x = jnp.asarray(rs.randn(B, T, H).astype(np.float32))
+    mask = np.ones((B, T), np.float32)
+    mask[1, 4:] = 0
+    mask = jnp.asarray(mask)
+    h0 = jnp.zeros((B, H))
+    c0 = jnp.zeros((B, H))
+    outs_ref, (h_ref, c_ref) = layers.lstm_scan(fwd, x, h0, c0, mask=mask)
+
+    xproj = jnp.einsum("bti,io->bto", x, fwd["w_ih"]) + fwd["b_ih"] + fwd["b_hh"]
+    outs, (h_last, c_last) = lstm_seq_pallas(
+        jnp.transpose(xproj, (1, 0, 2))[:, None], fwd["w_hh"][None], mask,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(outs[:, 0].transpose(1, 0, 2)),
+                               np.asarray(outs_ref), rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(h_last[0]), np.asarray(h_ref),
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(c_last[0]), np.asarray(c_ref),
+                               rtol=2e-2, atol=2e-2)

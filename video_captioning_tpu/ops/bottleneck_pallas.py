@@ -33,7 +33,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
-_VMEM_BUDGET = 10 * 1024 * 1024
+# Mosaic's scoped-vmem stack limit is 16 MiB; budget well under it because
+# the tile model below approximates the compiler's actual stack allocation
+# (the first on-chip compile at B=320 measured 16.78 MiB against a 10 MiB
+# model that ignored the fp32 temporaries of the conv/projection chain —
+# Mosaic does not reuse stack slots across the unrolled matmuls).
+_VMEM_BUDGET = 11 * 1024 * 1024
+_SLAB_BYTES = 1024 * 1024  # target fp32 working set of one output slab
 
 
 def _dot(x: Array, w: Array) -> Array:
@@ -44,44 +50,68 @@ def _dot(x: Array, w: Array) -> Array:
     )
 
 
+def _row_slab(H: int, W: int, C: int) -> int:
+    """Rows per final-projection slab so its fp32 temps stay ~_SLAB_BYTES."""
+    rows = max(1, _SLAB_BYTES // (W * C * 4))
+    while H % rows:
+        rows -= 1
+    return rows
+
+
 def _kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, o_ref):
     x = x_ref[:]                                   # (bt, H, W, C)
-    bt, H, W, _ = x.shape
-    cm = w1_ref.shape[1]
+    bt, H, W, C = x.shape
     dtype = x.dtype
 
     y1 = _dot(x, w1_ref[:]) + b1_ref[:].astype(jnp.float32)
     y1 = jnp.maximum(y1, 0.0).astype(dtype)        # (bt, H, W, Cm)
-
-    # 3x3 SAME conv as 9 shifted matmuls over the zero-padded y1.
     y1p = jnp.pad(y1, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    acc = b2_ref[:].astype(jnp.float32)
-    for dy in range(3):
-        for dx in range(3):
-            patch = y1p[:, dy:dy + H, dx:dx + W, :]
-            acc = acc + _dot(patch, w2_ref[dy, dx])
-    y2 = jnp.maximum(acc, 0.0).astype(dtype)       # (bt, H, W, Cm)
 
-    out = _dot(y2, w3_ref[:]) + b3_ref[:].astype(jnp.float32)
-    out = out + x.astype(jnp.float32)              # identity residual
-    o_ref[:] = jnp.maximum(out, 0.0).astype(dtype)
+    # Everything past y1p runs in row slabs. Mosaic allocates the kernel's
+    # large intermediates on a 16 MiB scoped-vmem stack and (measured) does
+    # NOT reuse slots across the unrolled conv matmuls — the whole-tile
+    # schedule put ~17 MiB of fp32 conv/projection temporaries live at
+    # once at stage-2 shapes. Slab-wise, every fp32 temp is bounded by
+    # ~_SLAB_BYTES while the matmul M dim stays >= rows*W (>= 392).
+    rows = _row_slab(H, W, C)
+    for r0 in range(0, H, rows):
+        # 3x3 SAME conv rows [r0, r0+rows) as 9 shifted matmuls over y1p.
+        acc = b2_ref[:].astype(jnp.float32)
+        for dy in range(3):
+            for dx in range(3):
+                patch = y1p[:, r0 + dy:r0 + dy + rows, dx:dx + W, :]
+                acc = acc + _dot(patch, w2_ref[dy, dx])
+        y2 = jnp.maximum(acc, 0.0).astype(dtype)   # (bt, rows, W, Cm)
+        o = _dot(y2, w3_ref[:]) + b3_ref[:].astype(jnp.float32)
+        o = o + x[:, r0:r0 + rows].astype(jnp.float32)
+        o_ref[:, r0:r0 + rows] = jnp.maximum(o, 0.0).astype(dtype)
 
 
 def batch_tile(B: int, H: int, W: int, C: int, Cm: int,
                itemsize: int) -> Optional[int]:
     """Largest batch tile whose working set fits the VMEM budget.
 
-    x and out blocks are double-buffered by the pipeline; y1 (padded) and
-    the fp32 accumulator are live at once; weights are resident.
+    x and out blocks are double-buffered by the pipeline; the whole-tile
+    tensors are y1 (fp32 first-dot result, then bf16 padded copy); all
+    conv/projection temporaries are slab-bounded. The budget sits under
+    Mosaic's 16 MiB scoped-vmem stack limit with ~30% headroom to absorb
+    model error (first on-chip compile: 16.78 MiB actual vs a 10 MiB
+    estimate that ignored the projection temporaries).
     """
     weights = (C * Cm * 2 + 9 * Cm * Cm) * itemsize
+    slab = _row_slab(H, W, C)
     for bt in (32, 16, 8, 4, 2, 1):
         if B % bt:
             continue
         per_batch = (
-            2 * H * W * C * itemsize * 2          # x + out, double-buffered
-            + (H + 2) * (W + 2) * Cm * itemsize   # padded y1
-            + H * W * Cm * 4                      # fp32 conv accumulator
+            2 * H * W * C * itemsize * 2           # x + out, double-buffered
+            + H * W * Cm * 4                       # fp32 first-dot result
+            + H * W * Cm * itemsize                # y1
+            + (H + 2) * (W + 2) * Cm * itemsize    # padded y1
+            + slab * W * Cm * 4                    # fp32 conv acc slab
+            + 2 * (slab + 2) * W * Cm * itemsize   # live patch slices
+            + slab * W * Cm * itemsize             # y2 slab
+            + 2 * slab * W * C * 4                 # fp32 out slab + residual
         )
         if weights + bt * per_batch <= _VMEM_BUDGET:
             return bt

@@ -122,7 +122,11 @@ def lstm_seq_pallas(
     dt = xproj.dtype
     H = H4 // 4
     if B % block_b != 0:
-        block_b = 8 if B % 8 == 0 else 1
+        # Pallas requires the row-block dim be 8-divisible OR equal to
+        # the full array dim; block 1 with 1 < B < 8 is ILLEGAL (hit by
+        # the B=4 decode-pipeline path), so small batches take the
+        # whole-dim block.
+        block_b = 8 if B % 8 == 0 else B
     if mask is None:
         mask_bt = jnp.ones((B, T), jnp.float32)
     else:
@@ -326,7 +330,11 @@ def _fwd_train(xproj, w_hh, mask_bt, block_b, interpret):
     T, ND, B, H4 = xproj.shape
     H = H4 // 4
     if B % block_b != 0:
-        block_b = 8 if B % 8 == 0 else 1
+        # Pallas requires the row-block dim be 8-divisible OR equal to
+        # the full array dim; block 1 with 1 < B < 8 is ILLEGAL (hit by
+        # the B=4 decode-pipeline path), so small batches take the
+        # whole-dim block.
+        block_b = 8 if B % 8 == 0 else B
     dt = xproj.dtype
     grid = (B // block_b, T)
     kern = functools.partial(_fwd_train_kernel, nd=ND)
@@ -381,7 +389,11 @@ def _bwd_train(res, douts, dh_last, dc_last, block_b, interpret):
     T, ND, B, H4 = gact.shape
     H = H4 // 4
     if B % block_b != 0:
-        block_b = 8 if B % 8 == 0 else 1
+        # Pallas requires the row-block dim be 8-divisible OR equal to
+        # the full array dim; block 1 with 1 < B < 8 is ILLEGAL (hit by
+        # the B=4 decode-pipeline path), so small batches take the
+        # whole-dim block.
+        block_b = 8 if B % 8 == 0 else B
     dt = gact.dtype
 
     grid = (ND, B // block_b, T)  # t innermost (reverse), then rows, then dir
