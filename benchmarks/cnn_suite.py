@@ -108,8 +108,10 @@ def main():
 
     # Full on-chip pipeline: frames → CNN → BiLSTM → beam-5 → tokens,
     # both backbones (the BASELINE north-star slice minus host video decode).
+    # ResNet50 runs the BN-folded forward — the A/B winner and the
+    # FeatureExtractor default (KernelConfig.resnet50_variant).
     for name, init_fn, apply_fn, feat_dim in [
-        ("resnet50", init_resnet50, apply_resnet50, 2048),
+        ("resnet50", init_folded, apply_resnet50_f, 2048),
         ("vgg16", init_vgg16, apply_vgg16, 4096),
     ]:
         config = Config()

@@ -207,9 +207,12 @@ class KernelConfig:
     #   fused     - folded + whole-bottleneck Pallas kernel for stride-1
     #               identity blocks (intermediates VMEM-resident)
     #   fused_s2d - fused + exact space-to-depth stem rewrite
-    # All variants are parity-gated in tests/test_backbones.py; the
-    # default stays "xla" until the on-chip A/B picks a winner.
-    resnet50_variant: str = "xla"
+    # All variants are parity-gated in tests/test_backbones.py. On-chip
+    # A/B at B=320 (benchmarks/cnn_results.json): folded wins (+2.4% bf16,
+    # +13% fp32 over xla); fused measured a 34% LOSS (bt=1 tiles and the
+    # stage-1 Cm=64 matmuls underutilize the MXU, swamping the HBM-traffic
+    # savings) and s2d was neutral — both kept flag-gated for the record.
+    resnet50_variant: str = "folded"
 
 
 @dataclass

@@ -67,11 +67,16 @@ class FeatureExtractor:
         # see KernelConfig.resnet50_variant); VGG16 has no BN to fold so
         # only "xla" applies.
         if variant is None:
-            variant = (
-                config.kernels.resnet50_variant
-                if config is not None and model_type == "resnet50"
-                else "xla"
-            )
+            if model_type == "resnet50":
+                from ...config import KernelConfig
+
+                variant = (
+                    config.kernels.resnet50_variant
+                    if config is not None
+                    else KernelConfig().resnet50_variant
+                )
+            else:
+                variant = "xla"
         if model_type == "vgg16" and variant != "xla":
             raise ValueError(f"VGG16 has no {variant!r} variant (no BN to fold)")
         if variant not in ("xla", "folded", "fused", "fused_s2d"):
