@@ -29,7 +29,9 @@ FRAMES = 80
 # ~35 ms tunnel RTT is paid once per timed call: ITERS must amortize it
 # (ITERS=2 under-reported ResNet50 by 1.6x in round 2 — CLAUDE.md traps).
 ITERS = 32         # feature-extraction loops (~27 ms/iter device time)
-ITERS_FULL = 8     # full-pipeline loops (~45 ms/iter device time)
+NCLIPS_FULL = 64   # clips per beam dispatch in the full pipeline
+CHUNKS_FULL = NCLIPS_FULL // CLIPS
+ITERS_FULL = 4     # full-pipeline loops (~0.5 s/iter device time)
 RUNS = 3
 
 _MEAN = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
@@ -57,6 +59,12 @@ def main():
     def apply_resnet50_fp(params, x):
         return apply_resnet50_folded(params, x, use_pallas=True)
 
+    def apply_resnet50_fs(stages):
+        def f(params, x):
+            return apply_resnet50_folded(
+                params, x, use_pallas=True, fuse_stages=stages)
+        return f
+
     def apply_resnet50_s2d(params, x):
         return apply_resnet50_folded(params, x, use_pallas=False, stem_s2d=True)
 
@@ -70,12 +78,18 @@ def main():
         ("resnet50", init_resnet50, apply_resnet50, 2048),
         ("resnet50_folded", init_folded, apply_resnet50_f, 2048),
         ("resnet50_fused", init_folded, apply_resnet50_fp, 2048),
+        # Per-stage fusion A/B: the fused kernel's trade-off (HBM traffic
+        # saved vs batch-tile/Cm MXU underutilization) differs per stage.
+        ("resnet50_fused_s2", init_folded, apply_resnet50_fs((1,)), 2048),
+        ("resnet50_fused_s3", init_folded, apply_resnet50_fs((2,)), 2048),
+        ("resnet50_fused_s4", init_folded, apply_resnet50_fs((3,)), 2048),
+        ("resnet50_fused_s34", init_folded, apply_resnet50_fs((2, 3)), 2048),
         ("resnet50_s2d", init_folded, apply_resnet50_s2d, 2048),
         ("resnet50_fused_s2d", init_folded, apply_resnet50_fp_s2d, 2048),
         ("vgg16", init_vgg16, apply_vgg16, 4096),
     ]:
         for dtype_name, dtype in [("bfloat16", jnp.bfloat16), ("float32", jnp.float32)]:
-            if name in ("resnet50_fused", "resnet50_s2d", "resnet50_fused_s2d") \
+            if name.startswith(("resnet50_fused", "resnet50_s2d")) \
                     and dtype_name == "float32":
                 continue  # bf16 is the serving dtype for the fused/s2d paths
             cnn = _cast(init_fn(jax.random.PRNGKey(1)), dtype)
@@ -106,10 +120,58 @@ def main():
             print(f"{name:9s} {dtype_name:9s}: {fps:8.0f} frames/s "
                   f"({fps/FRAMES:7.2f} clips/s)")
 
+    # W8A8 int8 variant (opt-in; models/backbones/resnet_int8.py):
+    # activations+weights int8 halve every HBM stream of the bandwidth-
+    # bound schedule, and the convs run int8xint8->int32 on the MXU.
+    # Quantization happens once outside the timed loop (as in serving).
+    from video_captioning_tpu.models.backbones.resnet_int8 import (
+        apply_resnet50_int8, calibrate_resnet50_int8, feature_error,
+        quantize_resnet50_int8)
+
+    folded_fp32 = init_folded(jax.random.PRNGKey(1))
+    calib = ((frames_u8[:64].astype(jnp.float32) / 255.0 - _MEAN) / _STD)
+    scales = calibrate_resnet50_int8(folded_fp32, calib, batch_size=64)
+    qp = quantize_resnet50_int8(folded_fp32, scales)
+
+    @jax.jit
+    def feats_int8(qp, frames):
+        def body(i, acc):
+            x = ((frames + i.astype(jnp.uint8)).astype(jnp.float32) / 255.0
+                 - _MEAN) / _STD
+            f = apply_resnet50_int8(qp, x)
+            return acc + f.sum()
+        return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0))
+
+    float(feats_int8(qp, frames_u8))
+    ts = []
+    for _ in range(RUNS):
+        t0 = time.perf_counter()
+        float(feats_int8(qp, frames_u8))
+        ts.append(time.perf_counter() - t0)
+    fps = CLIPS * FRAMES * ITERS / min(ts)
+    ref_feats = jax.jit(
+        lambda p, x: apply_resnet50_folded(p, x, use_pallas=False)
+    )(folded_fp32, calib)
+    err = feature_error(ref_feats, apply_resnet50_int8(qp, calib))
+    results["cnn_resnet50_int8"] = {
+        "frames_per_sec": round(fps, 1),
+        "clips_per_sec": round(fps / FRAMES, 2),
+        **{k: round(v, 5) for k, v in err.items()},
+    }
+    print(f"resnet50_int8      :    {fps:8.0f} frames/s ({fps/FRAMES:7.2f} "
+          f"clips/s)  rel_l2={err['rel_l2']:.4f} cos={err['mean_cosine']:.5f}")
+
     # Full on-chip pipeline: frames → CNN → BiLSTM → beam-5 → tokens,
     # both backbones (the BASELINE north-star slice minus host video decode).
     # ResNet50 runs the BN-folded forward — the A/B winner and the
     # FeatureExtractor default (KernelConfig.resnet50_variant).
+    #
+    # Serving shape: the CNN is HBM-bound and runs in CLIPS-sized frame
+    # chunks (VMEM/HBM working set), but beam search is latency-bound at
+    # small batch — so the pipeline accumulates CHUNKS of features and
+    # runs ONE beam dispatch over NCLIPS_FULL clips, exactly how the
+    # batched predictor serves. (The round-3 pre-restructure number ran
+    # beam per 4-clip chunk and lost ~13% to beam step latency.)
     for name, init_fn, apply_fn, feat_dim in [
         ("resnet50", init_folded, apply_resnet50_f, 2048),
         ("vgg16", init_vgg16, apply_vgg16, 4096),
@@ -126,9 +188,18 @@ def main():
         @jax.jit
         def full(cnn, params, frames):
             def body(i, acc):
-                x = ((frames + i.astype(jnp.uint8)).astype(dtype) / 255.0
-                     - _MEAN.astype(dtype)) / _STD.astype(dtype)
-                feats = apply_fn(cnn, x).reshape(CLIPS, FRAMES, feat_dim)
+                def cnn_chunk(c, feats):
+                    # Vary the input per (i, c) so no loop level is LICM-
+                    # hoistable (CLAUDE.md traps).
+                    x = ((frames + (i * CHUNKS_FULL + c).astype(jnp.uint8))
+                         .astype(dtype) / 255.0
+                         - _MEAN.astype(dtype)) / _STD.astype(dtype)
+                    f = apply_fn(cnn, x).reshape(CLIPS, FRAMES, feat_dim)
+                    return jax.lax.dynamic_update_slice(
+                        feats, f, (c * CLIPS, 0, 0))
+                feats = jax.lax.fori_loop(
+                    0, CHUNKS_FULL, cnn_chunk,
+                    jnp.zeros((NCLIPS_FULL, FRAMES, feat_dim), dtype))
                 enc_outs, final, mask = captioner.encode(params, config, feats)
                 toks = beam_search_generate(
                     params, config, enc_outs, final, 1, 2, 20, mask, beam_size=5
@@ -142,9 +213,10 @@ def main():
             t0 = time.perf_counter()
             int(full(cnn, params, frames_u8))
             ts.append(time.perf_counter() - t0)
-        cps = CLIPS * ITERS_FULL / min(ts)
+        cps = NCLIPS_FULL * ITERS_FULL / min(ts)
         results[f"full_pipeline_{name}_beam5_bf16"] = {"clips_per_sec": round(cps, 2)}
-        print(f"full frames->{name}->BiLSTM->beam5 (bf16): {cps:.2f} clips/s")
+        print(f"full frames->{name}->BiLSTM->beam5 (bf16, B={NCLIPS_FULL}): "
+              f"{cps:.2f} clips/s")
 
     out = Path(__file__).parent / "cnn_results.json"
     out.write_text(json.dumps(results, indent=2))

@@ -434,3 +434,52 @@ def test_feature_extractor_bf16_compute():
     assert b.dtype == np.float32  # outputs always fp32
     # bf16 compute through 50 layers: loose agreement only.
     assert np.mean(np.abs(a - b)) / (np.mean(np.abs(a)) + 1e-6) < 0.15
+
+
+def test_resnet50_int8_feature_error_bounded():
+    """W8A8 PTQ features track the fp32 folded features (resnet_int8.py).
+
+    int8 is an APPROXIMATE opt-in serving variant — this pins its quality
+    contract: high cosine similarity / bounded relative L2 of the pooled
+    2048-d features, with calibration on the same distribution."""
+    from video_captioning_tpu.models.backbones.resnet import (
+        apply_resnet50_folded, fold_bn)
+    from video_captioning_tpu.models.backbones.resnet_int8 import (
+        apply_resnet50_int8, calibrate_resnet50_int8, feature_error,
+        quantize_resnet50_int8)
+
+    folded = fold_bn(_randomized_resnet_params())
+    rs = np.random.RandomState(3)
+    imgs = jnp.asarray(rs.randn(8, 64, 64, 3).astype(np.float32))
+    ref = apply_resnet50_folded(folded, imgs, use_pallas=False)
+
+    scales = calibrate_resnet50_int8(folded, imgs, batch_size=4)
+    qp = quantize_resnet50_int8(folded, scales)
+    got = apply_resnet50_int8(qp, imgs)
+    assert np.asarray(got).shape == (8, 2048)
+    err = feature_error(ref, got)
+    assert err["mean_cosine"] > 0.99, err
+    assert err["rel_l2"] < 0.12, err
+
+
+def test_feature_extractor_int8_variant():
+    """variant="int8" lazily calibrates on the first batch and returns
+    features close to the folded fp32 extractor's."""
+    from video_captioning_tpu.models.backbones import FeatureExtractor
+
+    frames = np.random.RandomState(4).randint(0, 255, (8, 64, 64, 3), np.uint8)
+    ref = FeatureExtractor("resnet50", None, batch_size=4,
+                           allow_random_init=True, seed=9,
+                           variant="folded").extract(frames)
+    fx = FeatureExtractor("resnet50", None, batch_size=4,
+                          allow_random_init=True, seed=9, variant="int8")
+    assert not fx._int8_calibrated
+    got = fx.extract(frames)
+    assert fx._int8_calibrated
+    assert got.shape == ref.shape and got.dtype == np.float32
+    cos = np.sum(ref * got, -1) / np.maximum(
+        np.linalg.norm(ref, axis=-1) * np.linalg.norm(got, axis=-1), 1e-8)
+    assert cos.mean() > 0.99, cos
+    # Recalibration is one-shot: a second extract reuses the program.
+    again = fx.extract(frames)
+    np.testing.assert_array_equal(got, again)

@@ -207,6 +207,11 @@ class KernelConfig:
     #   fused     - folded + whole-bottleneck Pallas kernel for stride-1
     #               identity blocks (intermediates VMEM-resident)
     #   fused_s2d - fused + exact space-to-depth stem rewrite
+    #   int8      - W8A8 static PTQ (models/backbones/resnet_int8.py):
+    #               per-channel int8 weights, calibrated per-site activation
+    #               scales, int8 MXU convs + int8 inter-op activations.
+    #               Opt-in ONLY — approximate features (error gated in
+    #               tests/test_backbones.py), for HBM-bound serving.
     # All variants are parity-gated in tests/test_backbones.py. On-chip
     # A/B at B=320 (benchmarks/cnn_results.json): folded wins (+2.4% bf16,
     # +13% fp32 over xla); fused measured a 34% LOSS (bt=1 tiles and the

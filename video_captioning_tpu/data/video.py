@@ -67,10 +67,14 @@ def extract_frames(
     frames: List[np.ndarray] = []
     pos = 0
     while pos < total and len(frames) < min(num_frames, total):
-        ret, frame = cap.read()
-        if not ret:
+        # grab() advances the decoder without the retrieve() frame copy;
+        # unwanted frames (total > num_frames) skip the copy entirely.
+        if not cap.grab():
             break
         if pos in wanted:
+            ret, frame = cap.retrieve()
+            if not ret:
+                break
             frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
             if resize is not None:
                 frame = cv2.resize(frame, (resize[1], resize[0]))

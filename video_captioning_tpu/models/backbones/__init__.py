@@ -63,9 +63,9 @@ class FeatureExtractor:
         self.batch_size = batch_size
         self.config = config
 
-        # ResNet50 forward variant (xla | folded | fused | fused_s2d —
-        # see KernelConfig.resnet50_variant); VGG16 has no BN to fold so
-        # only "xla" applies.
+        # ResNet50 forward variant (xla | folded | fused | fused_s2d |
+        # int8 — see KernelConfig.resnet50_variant); VGG16 has no BN to
+        # fold so only "xla" applies.
         if variant is None:
             if model_type == "resnet50":
                 from ...config import KernelConfig
@@ -79,7 +79,7 @@ class FeatureExtractor:
                 variant = "xla"
         if model_type == "vgg16" and variant != "xla":
             raise ValueError(f"VGG16 has no {variant!r} variant (no BN to fold)")
-        if variant not in ("xla", "folded", "fused", "fused_s2d"):
+        if variant not in ("xla", "folded", "fused", "fused_s2d", "int8"):
             raise ValueError(f"Unknown resnet50 variant: {variant}")
         self.variant = variant
         if compute_dtype is None:
@@ -128,6 +128,17 @@ class FeatureExtractor:
             )
 
         dtype = self.compute_dtype
+        self._int8_calibrated = False
+        if variant == "int8":
+            # W8A8 PTQ serving variant (resnet_int8.py): folded weights
+            # quantized now; activation scales calibrated lazily on the
+            # first extract() batch (or explicitly via calibrate_int8).
+            from .resnet import fold_bn
+
+            self._folded = fold_bn(self.params)
+            self._run_params = None  # set by calibrate_int8
+            self._extract = None
+            return
         if model_type == "vgg16" or variant == "xla":
             apply = apply_vgg16 if model_type == "vgg16" else apply_resnet50
             run_params = self.params
@@ -160,8 +171,33 @@ class FeatureExtractor:
 
         self._extract = jax.jit(extract_batch)
 
+    def calibrate_int8(self, frames: np.ndarray) -> None:
+        """Calibrate the int8 variant's activation scales on uint8 frames
+        (representative serving data; a few hundred frames suffice)."""
+        from .resnet_int8 import (
+            apply_resnet50_int8, calibrate_resnet50_int8,
+            quantize_resnet50_int8)
+
+        norm = (frames.astype(np.float32) / 255.0
+                - np.asarray(_IMAGENET_MEAN)) / np.asarray(_IMAGENET_STD)
+        scales = calibrate_resnet50_int8(
+            self._folded, jnp.asarray(norm), batch_size=self.batch_size)
+        self._run_params = quantize_resnet50_int8(self._folded, scales)
+
+        dtype = self.compute_dtype
+
+        def extract_batch(params, frames_u8):
+            x = frames_u8.astype(dtype) / 255.0
+            x = (x - _IMAGENET_MEAN.astype(dtype)) / _IMAGENET_STD.astype(dtype)
+            return apply_resnet50_int8(params, x).astype(jnp.float32)
+
+        self._extract = jax.jit(extract_batch)
+        self._int8_calibrated = True
+
     def extract(self, frames: np.ndarray) -> np.ndarray:
         """(N, H, W, 3) uint8 RGB frames → (N, feature_dim) float32."""
+        if self.variant == "int8" and not self._int8_calibrated:
+            self.calibrate_int8(frames[: max(self.batch_size, 1) * 4])
         outs = []
         n = frames.shape[0]
         bs = self.batch_size

@@ -282,10 +282,18 @@ def _bottleneck_folded(
 def apply_resnet50_folded(
     folded: Dict, images: Array, *, use_pallas: bool = True,
     stem_s2d: bool = False, interpret: bool = False,
+    fuse_stages: tuple = (0, 1, 2, 3),
 ) -> Array:
     """BN-folded inference forward; numerics match :func:`apply_resnet50`
     to fp32 rounding (gated in tests/test_backbones.py). images:
-    (B, 224, 224, 3) normalized float → (B, 2048)."""
+    (B, 224, 224, 3) normalized float → (B, 2048).
+
+    ``fuse_stages`` limits the fused-bottleneck Pallas kernel (when
+    ``use_pallas``) to a subset of the 4 stages: the kernel's trade-off —
+    ~3x less HBM traffic vs smaller batch tiles / Cm-lane MXU
+    underutilization — lands differently per stage (stage 1 has Cm=64 at
+    56x56; stage 4 has Cm=512 at 7x7), so the A/B is per-stage
+    (benchmarks/cnn_suite.py)."""
     if stem_s2d and "conv1_s2d" in folded:
         x = jax.lax.conv_general_dilated(
             _s2d_stem_input(images), folded["conv1_s2d"]["kernel"],
@@ -307,7 +315,8 @@ def apply_resnet50_folded(
     for stage_idx, blocks in enumerate(folded["stages"]):
         for b, block in enumerate(blocks):
             stride = 2 if (stage_idx > 0 and b == 0) else 1
-            x = _bottleneck_folded(block, x, stride, use_pallas, interpret)
+            fuse = use_pallas and stage_idx in fuse_stages
+            x = _bottleneck_folded(block, x, stride, fuse, interpret)
     return jnp.mean(x, axis=(1, 2))
 
 
