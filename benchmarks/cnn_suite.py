@@ -120,46 +120,61 @@ def main():
             print(f"{name:9s} {dtype_name:9s}: {fps:8.0f} frames/s "
                   f"({fps/FRAMES:7.2f} clips/s)")
 
-    # W8A8 int8 variant (opt-in; models/backbones/resnet_int8.py):
-    # activations+weights int8 halve every HBM stream of the bandwidth-
-    # bound schedule, and the convs run int8xint8->int32 on the MXU.
-    # Quantization happens once outside the timed loop (as in serving).
+    # W8A8 int8 variants (opt-in; models/backbones/{resnet,vgg}_int8.py).
+    # ResNet50 is HBM-bound: int8 halves every activation stream. VGG16 is
+    # MXU-bound: int8 targets the 2x int8 MXU rate (+ halved fc6 weight
+    # traffic). Quantization happens once outside the timed loop (serving).
     from video_captioning_tpu.models.backbones.resnet_int8 import (
         apply_resnet50_int8, calibrate_resnet50_int8, feature_error,
         quantize_resnet50_int8)
+    from video_captioning_tpu.models.backbones.vgg_int8 import (
+        apply_vgg16_int8, calibrate_vgg16_int8, quantize_vgg16_int8)
+
+    calib = ((frames_u8[:64].astype(jnp.float32) / 255.0 - _MEAN) / _STD)
 
     folded_fp32 = init_folded(jax.random.PRNGKey(1))
-    calib = ((frames_u8[:64].astype(jnp.float32) / 255.0 - _MEAN) / _STD)
-    scales = calibrate_resnet50_int8(folded_fp32, calib, batch_size=64)
-    qp = quantize_resnet50_int8(folded_fp32, scales)
-
-    @jax.jit
-    def feats_int8(qp, frames):
-        def body(i, acc):
-            x = ((frames + i.astype(jnp.uint8)).astype(jnp.float32) / 255.0
-                 - _MEAN) / _STD
-            f = apply_resnet50_int8(qp, x)
-            return acc + f.sum()
-        return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0))
-
-    float(feats_int8(qp, frames_u8))
-    ts = []
-    for _ in range(RUNS):
-        t0 = time.perf_counter()
-        float(feats_int8(qp, frames_u8))
-        ts.append(time.perf_counter() - t0)
-    fps = CLIPS * FRAMES * ITERS / min(ts)
-    ref_feats = jax.jit(
+    qp_resnet = quantize_resnet50_int8(
+        folded_fp32, calibrate_resnet50_int8(folded_fp32, calib, batch_size=64))
+    ref_resnet = jax.jit(
         lambda p, x: apply_resnet50_folded(p, x, use_pallas=False)
     )(folded_fp32, calib)
-    err = feature_error(ref_feats, apply_resnet50_int8(qp, calib))
-    results["cnn_resnet50_int8"] = {
-        "frames_per_sec": round(fps, 1),
-        "clips_per_sec": round(fps / FRAMES, 2),
-        **{k: round(v, 5) for k, v in err.items()},
-    }
-    print(f"resnet50_int8      :    {fps:8.0f} frames/s ({fps/FRAMES:7.2f} "
-          f"clips/s)  rel_l2={err['rel_l2']:.4f} cos={err['mean_cosine']:.5f}")
+
+    vgg_fp32 = init_vgg16(jax.random.PRNGKey(1))
+    qp_vgg = quantize_vgg16_int8(
+        vgg_fp32, calibrate_vgg16_int8(vgg_fp32, calib, batch_size=64))
+    ref_vgg = jax.jit(apply_vgg16)(vgg_fp32, calib)
+
+    int8_rows = {}
+    for name, qp, apply_q, ref_feats in [
+        ("resnet50", qp_resnet, apply_resnet50_int8, ref_resnet),
+        ("vgg16", qp_vgg, apply_vgg16_int8, ref_vgg),
+    ]:
+        @jax.jit
+        def feats_int8(qp, frames):
+            def body(i, acc):
+                x = ((frames + i.astype(jnp.uint8)).astype(jnp.float32) / 255.0
+                     - _MEAN) / _STD
+                f = apply_q(qp, x)
+                return acc + f.sum()
+            return jax.lax.fori_loop(0, ITERS, body, jnp.float32(0))
+
+        float(feats_int8(qp, frames_u8))
+        ts = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            float(feats_int8(qp, frames_u8))
+            ts.append(time.perf_counter() - t0)
+        fps = CLIPS * FRAMES * ITERS / min(ts)
+        err = feature_error(ref_feats, apply_q(qp, calib))
+        results[f"cnn_{name}_int8"] = {
+            "frames_per_sec": round(fps, 1),
+            "clips_per_sec": round(fps / FRAMES, 2),
+            **{k: round(v, 5) for k, v in err.items()},
+        }
+        int8_rows[name] = qp
+        print(f"{name}_int8      :    {fps:8.0f} frames/s ({fps/FRAMES:7.2f} "
+              f"clips/s)  rel_l2={err['rel_l2']:.4f} "
+              f"cos={err['mean_cosine']:.5f}")
 
     # Full on-chip pipeline: frames → CNN → BiLSTM → beam-5 → tokens,
     # both backbones (the BASELINE north-star slice minus host video decode).
@@ -172,15 +187,20 @@ def main():
     # runs ONE beam dispatch over NCLIPS_FULL clips, exactly how the
     # batched predictor serves. (The round-3 pre-restructure number ran
     # beam per 4-clip chunk and lost ~13% to beam step latency.)
-    for name, init_fn, apply_fn, feat_dim in [
-        ("resnet50", init_folded, apply_resnet50_f, 2048),
-        ("vgg16", init_vgg16, apply_vgg16, 4096),
-    ]:
+    dtype = jnp.bfloat16
+    full_rows = [
+        ("resnet50", _cast(init_folded(jax.random.PRNGKey(1)), dtype),
+         apply_resnet50_f, 2048, dtype),
+        ("vgg16", _cast(init_vgg16(jax.random.PRNGKey(1)), dtype),
+         apply_vgg16, 4096, dtype),
+        # int8 CNN + bf16 captioner (the opt-in quantized serving stack).
+        ("resnet50_int8", qp_resnet, apply_resnet50_int8, 2048, jnp.float32),
+        ("vgg16_int8", qp_vgg, apply_vgg16_int8, 4096, jnp.float32),
+    ]
+    for name, cnn, apply_fn, feat_dim, norm_dtype in full_rows:
         config = Config()
         config.model.cnn_feature_dim = feat_dim
         config.validate()
-        dtype = jnp.bfloat16
-        cnn = _cast(init_fn(jax.random.PRNGKey(1)), dtype)
         params = _cast(captioner.init_model(jax.random.PRNGKey(0), config, 10000), dtype)
         b = params["decoder"]["output_projection"]["bias"]
         params["decoder"]["output_projection"]["bias"] = b.at[2].set(-1e9)
@@ -192,11 +212,12 @@ def main():
                     # Vary the input per (i, c) so no loop level is LICM-
                     # hoistable (CLAUDE.md traps).
                     x = ((frames + (i * CHUNKS_FULL + c).astype(jnp.uint8))
-                         .astype(dtype) / 255.0
-                         - _MEAN.astype(dtype)) / _STD.astype(dtype)
-                    f = apply_fn(cnn, x).reshape(CLIPS, FRAMES, feat_dim)
+                         .astype(norm_dtype) / 255.0
+                         - _MEAN.astype(norm_dtype)) / _STD.astype(norm_dtype)
+                    f = apply_fn(cnn, x).astype(dtype)
                     return jax.lax.dynamic_update_slice(
-                        feats, f, (c * CLIPS, 0, 0))
+                        feats, f.reshape(CLIPS, FRAMES, feat_dim),
+                        (c * CLIPS, 0, 0))
                 feats = jax.lax.fori_loop(
                     0, CHUNKS_FULL, cnn_chunk,
                     jnp.zeros((NCLIPS_FULL, FRAMES, feat_dim), dtype))

@@ -483,3 +483,39 @@ def test_feature_extractor_int8_variant():
     # Recalibration is one-shot: a second extract reuses the program.
     again = fx.extract(frames)
     np.testing.assert_array_equal(got, again)
+
+
+def test_vgg16_int8_feature_error_bounded():
+    """W8A8 PTQ VGG16 fc7 features track the fp32 features (vgg_int8.py)."""
+    from video_captioning_tpu.models.backbones.vgg import apply_vgg16, init_vgg16
+    from video_captioning_tpu.models.backbones.resnet_int8 import feature_error
+    from video_captioning_tpu.models.backbones.vgg_int8 import (
+        apply_vgg16_int8, calibrate_vgg16_int8, quantize_vgg16_int8)
+
+    params = init_vgg16(jax.random.PRNGKey(5))
+    rs = np.random.RandomState(6)
+    imgs = jnp.asarray(rs.randn(6, 64, 64, 3).astype(np.float32))
+    ref = apply_vgg16(params, imgs)
+
+    scales = calibrate_vgg16_int8(params, imgs, batch_size=3)
+    qp = quantize_vgg16_int8(params, scales)
+    got = apply_vgg16_int8(qp, imgs)
+    assert np.asarray(got).shape == (6, 4096)
+    err = feature_error(ref, got)
+    assert err["mean_cosine"] > 0.99, err
+    assert err["rel_l2"] < 0.12, err
+
+
+def test_feature_extractor_vgg16_int8_variant():
+    from video_captioning_tpu.models.backbones import FeatureExtractor
+
+    frames = np.random.RandomState(8).randint(0, 255, (6, 64, 64, 3), np.uint8)
+    ref = FeatureExtractor("vgg16", None, batch_size=3,
+                           allow_random_init=True, seed=2).extract(frames)
+    fx = FeatureExtractor("vgg16", None, batch_size=3,
+                          allow_random_init=True, seed=2, variant="int8")
+    got = fx.extract(frames)
+    assert got.shape == ref.shape and got.dtype == np.float32
+    cos = np.sum(ref * got, -1) / np.maximum(
+        np.linalg.norm(ref, axis=-1) * np.linalg.norm(got, axis=-1), 1e-8)
+    assert cos.mean() > 0.99, cos

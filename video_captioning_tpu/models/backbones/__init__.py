@@ -77,7 +77,7 @@ class FeatureExtractor:
                 )
             else:
                 variant = "xla"
-        if model_type == "vgg16" and variant != "xla":
+        if model_type == "vgg16" and variant not in ("xla", "int8"):
             raise ValueError(f"VGG16 has no {variant!r} variant (no BN to fold)")
         if variant not in ("xla", "folded", "fused", "fused_s2d", "int8"):
             raise ValueError(f"Unknown resnet50 variant: {variant}")
@@ -130,12 +130,14 @@ class FeatureExtractor:
         dtype = self.compute_dtype
         self._int8_calibrated = False
         if variant == "int8":
-            # W8A8 PTQ serving variant (resnet_int8.py): folded weights
-            # quantized now; activation scales calibrated lazily on the
-            # first extract() batch (or explicitly via calibrate_int8).
-            from .resnet import fold_bn
+            # W8A8 PTQ serving variant (resnet_int8.py / vgg_int8.py):
+            # weights quantized at calibration time; activation scales
+            # calibrated lazily on the first extract() batch (or
+            # explicitly via calibrate_int8).
+            if model_type == "resnet50":
+                from .resnet import fold_bn
 
-            self._folded = fold_bn(self.params)
+                self._folded = fold_bn(self.params)
             self._run_params = None  # set by calibrate_int8
             self._extract = None
             return
@@ -174,22 +176,31 @@ class FeatureExtractor:
     def calibrate_int8(self, frames: np.ndarray) -> None:
         """Calibrate the int8 variant's activation scales on uint8 frames
         (representative serving data; a few hundred frames suffice)."""
-        from .resnet_int8 import (
-            apply_resnet50_int8, calibrate_resnet50_int8,
-            quantize_resnet50_int8)
-
         norm = (frames.astype(np.float32) / 255.0
                 - np.asarray(_IMAGENET_MEAN)) / np.asarray(_IMAGENET_STD)
-        scales = calibrate_resnet50_int8(
-            self._folded, jnp.asarray(norm), batch_size=self.batch_size)
-        self._run_params = quantize_resnet50_int8(self._folded, scales)
+        if self.model_type == "resnet50":
+            from .resnet_int8 import (
+                apply_resnet50_int8 as apply_int8,
+                calibrate_resnet50_int8, quantize_resnet50_int8)
+
+            scales = calibrate_resnet50_int8(
+                self._folded, jnp.asarray(norm), batch_size=self.batch_size)
+            self._run_params = quantize_resnet50_int8(self._folded, scales)
+        else:
+            from .vgg_int8 import (
+                apply_vgg16_int8 as apply_int8,
+                calibrate_vgg16_int8, quantize_vgg16_int8)
+
+            scales = calibrate_vgg16_int8(
+                self.params, jnp.asarray(norm), batch_size=self.batch_size)
+            self._run_params = quantize_vgg16_int8(self.params, scales)
 
         dtype = self.compute_dtype
 
         def extract_batch(params, frames_u8):
             x = frames_u8.astype(dtype) / 255.0
             x = (x - _IMAGENET_MEAN.astype(dtype)) / _IMAGENET_STD.astype(dtype)
-            return apply_resnet50_int8(params, x).astype(jnp.float32)
+            return apply_int8(params, x).astype(jnp.float32)
 
         self._extract = jax.jit(extract_batch)
         self._int8_calibrated = True
