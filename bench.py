@@ -32,11 +32,10 @@ from pathlib import Path
 
 BATCH = 256
 # Batches per timed device call. The dev tunnel charges ~35 ms RTT per
-# *call*; at ~22 ms device time per batch, ITERS=4 left ~10 ms/batch of
-# RTT in the number (measured 9.7k clips/s vs the true ~11.6k that
-# benchmarks/tpu_suite.py resolves with deep loops). 32 brings the RTT
-# share under 5% while keeping the timed call ~0.7 s.
-ITERS = 32
+# *call*; at ~19 ms device time per batch, ITERS=32 still left ~1.1
+# ms/batch of RTT in the number. 64 brings the bias under 3% while
+# keeping the timed call ~1.2 s.
+ITERS = 64
 BEAM = 5
 MAX_LEN = 20
 RUNS = 3
@@ -71,8 +70,25 @@ def main() -> None:
     @jax.jit
     def timed_iters(params, feats):
         def body(i, acc):
-            # Vary the input per iteration so no caching shortcut applies.
-            tokens = caption_beam(params, feats + i.astype(jnp.float32) * 1e-3)
+            # Vary the computation per iteration so XLA cannot hoist any
+            # stage out of the loop (LICM) — but perturb the SMALLEST
+            # input that sits upstream of everything (the encoder's
+            # 512-float projection bias), not the 335 MB feats tensor,
+            # whose extra read+write per iteration would add ~0.8 ms of
+            # phantom traffic (CLAUDE.md traps).
+            enc = params["encoder"]
+            proj = enc["feature_projection"]
+            p = {
+                **params,
+                "encoder": {
+                    **enc,
+                    "feature_projection": {
+                        **proj,
+                        "bias": proj["bias"] + i.astype(jnp.float32) * 1e-6,
+                    },
+                },
+            }
+            tokens = caption_beam(p, feats)
             return acc + tokens.sum()
 
         return jax.lax.fori_loop(0, ITERS, body, jnp.int32(0))

@@ -45,7 +45,19 @@ def _cast(tree, dtype):
 
 
 def main():
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--skip-variants", action="store_true",
+                        help="Skip the (stable) per-variant feature grid; "
+                             "only run int8 + full pipelines and merge into "
+                             "the existing cnn_results.json")
+    args = parser.parse_args()
+
+    out = Path(__file__).parent / "cnn_results.json"
     results = {}
+    if args.skip_variants and out.exists():
+        results = json.loads(out.read_text())
     frames_u8 = jax.random.randint(
         jax.random.PRNGKey(0), (CLIPS * FRAMES, 224, 224, 3), 0, 256, jnp.uint8
     )
@@ -74,7 +86,7 @@ def main():
     def init_folded(key):
         return fold_bn(init_resnet50(key))
 
-    for name, init_fn, apply_fn, feat_dim in [
+    variant_grid = [
         ("resnet50", init_resnet50, apply_resnet50, 2048),
         ("resnet50_folded", init_folded, apply_resnet50_f, 2048),
         ("resnet50_fused", init_folded, apply_resnet50_fp, 2048),
@@ -87,7 +99,9 @@ def main():
         ("resnet50_s2d", init_folded, apply_resnet50_s2d, 2048),
         ("resnet50_fused_s2d", init_folded, apply_resnet50_fp_s2d, 2048),
         ("vgg16", init_vgg16, apply_vgg16, 4096),
-    ]:
+    ]
+    for name, init_fn, apply_fn, feat_dim in ([] if args.skip_variants
+                                              else variant_grid):
         for dtype_name, dtype in [("bfloat16", jnp.bfloat16), ("float32", jnp.float32)]:
             if name.startswith(("resnet50_fused", "resnet50_s2d")) \
                     and dtype_name == "float32":

@@ -25,7 +25,10 @@ from video_captioning_tpu.generation.greedy import greedy_generate
 from video_captioning_tpu.models import captioner
 
 BATCHES = (64, 256)  # 256 is the headline config (bench.py / PERFORMANCE.md)
-ITERS = 8
+# ~35 ms tunnel RTT is paid once per timed call: ITERS=8 left ~4.4 ms/iter
+# in every row (a >30% under-report on the sub-10 ms rows — CLAUDE.md
+# traps). 64 brings the bias under 0.6 ms/iter.
+ITERS = 64
 MAX_LEN = 20
 RUNS = 3
 
@@ -58,7 +61,24 @@ def make_fn(config, method, beam, batch, dtype):
     @jax.jit
     def timed(params, feats):
         def body(i, acc):
-            tokens = fn(params, feats + i.astype(dtype) * jnp.asarray(1e-3, dtype))
+            # Perturb the encoder projection bias (512 floats, upstream of
+            # every stage) rather than feats: varies the whole computation
+            # per iteration (no LICM hoisting) without adding a full
+            # read+write of the big feats tensor (CLAUDE.md traps).
+            enc = params["encoder"]
+            proj = enc["feature_projection"]
+            p = {
+                **params,
+                "encoder": {
+                    **enc,
+                    "feature_projection": {
+                        **proj,
+                        "bias": proj["bias"]
+                        + i.astype(dtype) * jnp.asarray(1e-6, dtype),
+                    },
+                },
+            }
+            tokens = fn(p, feats)
             return acc + tokens.sum()
 
         return jax.lax.fori_loop(0, ITERS, body, jnp.int32(0))

@@ -212,10 +212,13 @@ def build_parser() -> argparse.ArgumentParser:
                              "features are meaningless for caption quality)")
     parser.add_argument("--batch-size", type=int, default=32, help="Batch size for processing")
     parser.add_argument("--backbone-variant", type=str, default=None,
-                        choices=["xla", "folded", "fused", "fused_s2d"],
-                        help="ResNet50 forward variant (BN-folded / fused "
-                             "Pallas bottleneck / space-to-depth stem); "
-                             "default xla")
+                        choices=["xla", "folded", "fused", "fused_s2d",
+                                 "int8"],
+                        help="CNN forward variant (BN-folded / fused Pallas "
+                             "bottleneck / space-to-depth stem / W8A8 int8 "
+                             "PTQ — int8 works for both backbones and is "
+                             "approximate; see docs/PERFORMANCE.md); "
+                             "default: config (ResNet50: folded)")
     parser.add_argument("--compute-dtype", type=str, default=None,
                         choices=["float32", "bfloat16"],
                         help="CNN compute dtype (default float32)")

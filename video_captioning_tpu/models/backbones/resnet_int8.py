@@ -119,11 +119,14 @@ def calibrate_resnet50_int8(
     calib_images: (N, 224, 224, 3) ImageNet-normalized fp32 frames.
     Returns {site: scale} with scale = quantile(|x|) / 127.
     """
-    collect = jax.jit(lambda imgs: _collect_forward(folded, imgs, quantile))
+    # Params must be a jit ARGUMENT: closing over them bakes the full
+    # weight tree into the serialized program as constants (breaks the
+    # tunneled compile request's size limit for big models).
+    collect = jax.jit(lambda p, imgs: _collect_forward(p, imgs, quantile))
     agg: Dict[str, float] = {}
     n = calib_images.shape[0]
     for i in range(0, n, batch_size):
-        amax = jax.device_get(collect(calib_images[i : i + batch_size]))
+        amax = jax.device_get(collect(folded, calib_images[i : i + batch_size]))
         for site, v in amax.items():
             agg[site] = max(agg.get(site, 0.0), float(v))
     return {site: max(v, 1e-8) / _QMAX for site, v in agg.items()}

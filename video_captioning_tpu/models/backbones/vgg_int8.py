@@ -77,11 +77,14 @@ def calibrate_vgg16_int8(
     quantile: float = 0.9995,
 ) -> Dict[str, float]:
     """Per-site activation scales from fp32 forwards (see resnet_int8)."""
-    collect = jax.jit(lambda imgs: _collect_forward(params, imgs, quantile))
+    # Params must be a jit ARGUMENT, not a closure constant: VGG16's
+    # 528 MB weight tree baked into the program breaks the tunneled
+    # compile request's size limit (HTTP 413; see resnet_int8).
+    collect = jax.jit(lambda p, imgs: _collect_forward(p, imgs, quantile))
     agg: Dict[str, float] = {}
     n = calib_images.shape[0]
     for i in range(0, n, batch_size):
-        amax = jax.device_get(collect(calib_images[i : i + batch_size]))
+        amax = jax.device_get(collect(params, calib_images[i : i + batch_size]))
         for site, v in amax.items():
             agg[site] = max(agg.get(site, 0.0), float(v))
     return {site: max(v, 1e-8) / _QMAX for site, v in agg.items()}
