@@ -22,8 +22,10 @@ def main() -> None:
     parser.add_argument("--model", default="resnet50",
                         choices=["resnet50", "vgg16"])
     parser.add_argument("--variant", default="baseline",
-                        choices=["baseline", "folded", "folded_pallas"],
-                        help="resnet50 only: BN-folded inference paths")
+                        choices=["baseline", "folded", "folded_pallas",
+                                 "int8"],
+                        help="resnet50: BN-folded / fused-Pallas / int8; "
+                             "vgg16: int8 only")
     parser.add_argument("--batch", type=int, default=320)
     parser.add_argument("--dtype", default="bfloat16",
                         choices=["float32", "bfloat16"])
@@ -45,18 +47,44 @@ def main() -> None:
         else (init_vgg16, apply_vgg16)
     )
     raw = init_fn(jax.random.PRNGKey(0))
-    if args.variant != "baseline":
+    if args.variant == "int8":
+        # Quantize outside the profiled program (as in serving); the
+        # calibration batch is the same distribution as the timed frames.
+        cal_u8 = jax.random.randint(
+            jax.random.PRNGKey(2), (64, 224, 224, 3), 0, 256, jnp.uint8)
+        cal = ((cal_u8.astype(jnp.float32) / 255.0
+                - jnp.asarray([0.485, 0.456, 0.406]))
+               / jnp.asarray([0.229, 0.224, 0.225]))
+        if args.model == "resnet50":
+            from video_captioning_tpu.models.backbones.resnet import fold_bn
+            from video_captioning_tpu.models.backbones.resnet_int8 import (
+                apply_resnet50_int8, calibrate_resnet50_int8,
+                quantize_resnet50_int8)
+
+            folded = fold_bn(raw)
+            raw = quantize_resnet50_int8(
+                folded, calibrate_resnet50_int8(folded, cal, batch_size=64))
+            apply_fn = apply_resnet50_int8
+        else:
+            from video_captioning_tpu.models.backbones.vgg_int8 import (
+                apply_vgg16_int8, calibrate_vgg16_int8, quantize_vgg16_int8)
+
+            raw = quantize_vgg16_int8(
+                raw, calibrate_vgg16_int8(raw, cal, batch_size=64))
+            apply_fn = apply_vgg16_int8
+        dtype = jnp.float32  # int8 applies normalize+quantize from fp32
+    elif args.variant != "baseline":
         import functools
 
         from video_captioning_tpu.models.backbones.resnet import (
             apply_resnet50_folded, fold_bn)
 
-        assert args.model == "resnet50", "--variant is resnet50-only"
+        assert args.model == "resnet50", "folded variants are resnet50-only"
         raw = fold_bn(raw)
         apply_fn = functools.partial(
             apply_resnet50_folded,
             use_pallas=args.variant == "folded_pallas")
-    params = jax.tree_util.tree_map(
+    params = raw if args.variant == "int8" else jax.tree_util.tree_map(
         lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x,
         raw,
     )

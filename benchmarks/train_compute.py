@@ -28,7 +28,9 @@ def main() -> None:
     parser.add_argument("--batch", type=int, default=256)
     parser.add_argument("--dtype", default="bfloat16",
                         choices=["float32", "bfloat16"])
-    parser.add_argument("--iters", type=int, default=10)
+    # ~35 ms tunnel RTT is paid once per timed call: iters=10 left
+    # 3.5 ms/step (~13%) in the round-2 numbers (CLAUDE.md traps).
+    parser.add_argument("--iters", type=int, default=50)
     parser.add_argument("--runs", type=int, default=3)
     parser.add_argument("--no-remat-attention", action="store_true")
     parser.add_argument("--no-pallas-lstm-train", action="store_true")
@@ -85,9 +87,12 @@ def main() -> None:
             params, opt_state = carry
 
             def loss_fn(p):
+                # No anti-LICM perturbation needed here: params and
+                # opt_state ride the loop carry, so every iteration's
+                # computation differs already (and perturbing the 167 MB
+                # feats tensor would add a phantom read+write per step).
                 out = captioner.apply_model(
-                    cast(p), config,
-                    feats + (i.astype(compute_dtype) * 1e-3),  # anti-LICM
+                    cast(p), config, feats,
                     in_toks, train=True, rng=jax.random.fold_in(base_rng, i),
                 )
                 return label_smoothed_cross_entropy(
