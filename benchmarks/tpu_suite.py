@@ -33,8 +33,9 @@ MAX_LEN = 20
 RUNS = 3
 
 
-def build(dtype):
+def build(dtype, attention="bahdanau"):
     config = Config()
+    config.model.attention_type = attention
     params = captioner.init_model(jax.random.PRNGKey(0), config, 10000)
     bias = params["decoder"]["output_projection"]["bias"]
     params["decoder"]["output_projection"]["bias"] = bias.at[2].set(-1e9)
@@ -120,6 +121,19 @@ def main():
                 print(f"{method:6s} {dtype_name:9s} B={batch:3d}: "
                       f"{cps:10.1f} clips/sec "
                       f"({per_batch*1e3:.2f} ms / batch)")
+
+    # Attention-type comparison at the headline config (beam-5 B=256 fp32;
+    # bahdanau is the reference default and already measured above).
+    for att in ("luong", "multihead"):
+        config, params = build(jnp.float32, attention=att)
+        cps, per_batch = measure(config, params, "beam", 5, 256, jnp.float32)
+        results[f"beam_float32_b256_{att}"] = {
+            "clips_per_sec": round(cps, 1),
+            "batch": 256,
+            "sec_per_batch": round(per_batch, 5),
+        }
+        print(f"beam   fp32 {att:9s} B=256: {cps:10.1f} clips/sec "
+              f"({per_batch*1e3:.2f} ms / batch)")
 
     # Single-clip p50 latency, beam-5 fp32 (one call per clip; includes the
     # ~35 ms tunnel round-trip of this environment).

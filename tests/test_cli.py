@@ -255,3 +255,37 @@ def test_evaluate_dataset_mode(dataset_csv, tiny_config_file, tmp_path, capsys):
     assert "bleu_4" in results["multi_reference"]
     assert "cider" in results["multi_reference"]
     assert len(results["samples"]) == 5
+
+
+@pytest.mark.slow
+def test_preprocess_cli_int8_variant(tmp_path):
+    """--backbone-variant int8 runs the W8A8 extractor end-to-end through
+    the CLI (lazy first-batch calibration inside FeatureExtractor)."""
+    cv2 = pytest.importorskip("cv2")
+    from video_captioning_tpu.cli import preprocess as preprocess_cli
+
+    video_dir = tmp_path / "videos"
+    video_dir.mkdir()
+    path = video_dir / "toy.mp4"
+    writer = cv2.VideoWriter(
+        str(path), cv2.VideoWriter_fourcc(*"mp4v"), 10, (64, 48)
+    )
+    rs = np.random.RandomState(1)
+    for _ in range(12):
+        writer.write(rs.randint(0, 255, (48, 64, 3), np.uint8))
+    writer.release()
+
+    out_dir = tmp_path / "features"
+    preprocess_cli.main([
+        "--video-dir", str(video_dir),
+        "--output-dir", str(out_dir),
+        "--model-type", "resnet50",
+        "--allow-random-init",
+        "--backbone-variant", "int8",
+        "--frames-per-video", "4",
+        "--batch-size", "4",
+        "--img-size", "64", "64",
+    ])
+    feats = np.load(out_dir / "toy.npy")
+    assert feats.shape == (4, 2048)
+    assert np.isfinite(feats).all() and np.abs(feats).sum() > 0
