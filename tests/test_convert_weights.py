@@ -113,3 +113,72 @@ def test_unflatten_inverts_flatten():
     flat1 = _flatten(tree)
     flat2 = _flatten(rt)
     assert flat1.keys() == flat2.keys()
+
+
+def test_int8_save_load_roundtrip(tmp_path):
+    """Calibrate → save_int8 → load via weights_path gives bit-identical
+    features with NO recalibration (the vcw-int8-v1 serving path)."""
+    from video_captioning_tpu.models.backbones import FeatureExtractor
+
+    frames = np.random.RandomState(5).randint(0, 255, (8, 64, 64, 3), np.uint8)
+    fx = FeatureExtractor("resnet50", None, batch_size=4,
+                          allow_random_init=True, seed=4, variant="int8")
+    fx.calibrate_int8(frames)
+    feats = fx.extract(frames)
+
+    qfile = tmp_path / "resnet50.int8.npz"
+    meta = fx.save_int8(qfile)
+    assert meta["format"] == "vcw-int8-v1"
+    assert meta["int8_bytes"] > 10_000_000  # ~25M int8 weights
+
+    fx2 = FeatureExtractor("resnet50", None, batch_size=4,
+                           weights_path=qfile, variant="int8")
+    assert fx2._int8_calibrated  # no lazy calibration needed
+    np.testing.assert_array_equal(feats, fx2.extract(frames))
+
+    # Wrong-variant and wrong-model guards.
+    with pytest.raises(ValueError, match="variant='int8'"):
+        FeatureExtractor("resnet50", None, weights_path=qfile)
+    with pytest.raises(ValueError, match="holds resnet50"):
+        FeatureExtractor("vgg16", None, weights_path=qfile, variant="int8")
+
+
+def test_int8_file_checksum_validation(tmp_path):
+    from video_captioning_tpu.cli import convert_weights
+    from video_captioning_tpu.models.backbones import FeatureExtractor
+
+    frames = np.random.RandomState(6).randint(0, 255, (4, 64, 64, 3), np.uint8)
+    fx = FeatureExtractor("resnet50", None, batch_size=4,
+                          allow_random_init=True, seed=4, variant="int8")
+    fx.calibrate_int8(frames)
+    qfile = tmp_path / "q.npz"
+    fx.save_int8(qfile)
+
+    data = dict(np.load(qfile))
+    key = next(k for k, v in data.items()
+               if not k.startswith("__") and v.dtype == np.int8)
+    data[key] = data[key].copy()
+    data[key].flat[0] ^= 0x7F  # tamper
+    np.savez(qfile, **data)
+    with pytest.raises(ValueError, match="checksum mismatch"):
+        convert_weights.load_int8_weights(qfile)
+
+
+def test_int8_unquantized_file_guard(tmp_path):
+    """load_native on an int8 file (and vice versa) raises clearly."""
+    from video_captioning_tpu.cli import convert_weights
+    from video_captioning_tpu.models.backbones import FeatureExtractor
+
+    frames = np.random.RandomState(7).randint(0, 255, (4, 64, 64, 3), np.uint8)
+    fx = FeatureExtractor("resnet50", None, batch_size=4,
+                          allow_random_init=True, seed=4, variant="int8")
+    fx.calibrate_int8(frames)
+    qfile = tmp_path / "q.npz"
+    fx.save_int8(qfile)
+    with pytest.raises(ValueError, match="QUANTIZED"):
+        convert_weights.load_native(qfile)
+    # save_int8 before calibration is an error
+    fx3 = FeatureExtractor("resnet50", None, batch_size=4,
+                           allow_random_init=True, seed=4, variant="int8")
+    with pytest.raises(ValueError, match="not calibrated"):
+        fx3.save_int8(tmp_path / "nope.npz")

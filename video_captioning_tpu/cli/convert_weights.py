@@ -37,6 +37,7 @@ from ..utils.logging import setup_logging
 logger = logging.getLogger(__name__)
 
 NATIVE_FORMAT = "vcw-v1"
+INT8_FORMAT = "vcw-int8-v1"
 
 _EXPECTED_KEYS = {
     # spot keys proving the state dict is the advertised architecture
@@ -146,6 +147,11 @@ def load_native(path: Path):
     Verifies the per-leaf sha256 digests recorded at conversion time.
     """
     data = dict(np.load(path))
+    if str(data.get("__format__")) == INT8_FORMAT:
+        raise ValueError(
+            f"{path} holds QUANTIZED ({INT8_FORMAT}) weights — construct "
+            "the FeatureExtractor with variant='int8' to load them"
+        )
     if "__format__" not in data or str(data["__format__"]) != NATIVE_FORMAT:
         raise ValueError(f"{path} is not a {NATIVE_FORMAT} weights file")
     model_type = str(data["__model_type__"])
@@ -168,6 +174,61 @@ def is_native(path: Path) -> bool:
         return False
 
 
+def save_int8_weights(output_path: Path, model_type: str, qp) -> dict:
+    """Persist a calibrated W8A8 tree (resnet_int8/vgg_int8 qp pytree) as a
+    checksummed ``vcw-int8-v1`` .npz — calibrate ONCE offline, serve from
+    the file (no per-process calibration batches)."""
+    flat = {k: np.asarray(v) for k, v in _flatten(qp).items()}
+    digests = {k: hashlib.sha256(v.tobytes()).hexdigest()[:16]
+               for k, v in flat.items()}
+    meta = {
+        "format": INT8_FORMAT,
+        "model_type": model_type,
+        "n_params": int(sum(v.size for v in flat.values())),
+        "int8_bytes": int(sum(v.nbytes for v in flat.values()
+                              if v.dtype == np.int8)),
+        "sha256": digests,
+    }
+    np.savez(
+        output_path,
+        __format__=np.asarray(INT8_FORMAT),
+        __model_type__=np.asarray(model_type),
+        __meta__=np.asarray(json.dumps(meta)),
+        **flat,
+    )
+    logger.info(f"Wrote {output_path}: quantized {model_type}, "
+                f"{meta['int8_bytes']:,} int8 bytes")
+    return meta
+
+
+def load_int8_weights(path: Path):
+    """Load a ``vcw-int8-v1`` file -> (model_type, qp pytree), verifying
+    the per-leaf digests."""
+    data = dict(np.load(path))
+    if str(data.get("__format__")) != INT8_FORMAT:
+        raise ValueError(f"{path} is not a {INT8_FORMAT} weights file")
+    model_type = str(data["__model_type__"])
+    meta = json.loads(str(data["__meta__"]))
+    flat = {k: v for k, v in data.items() if not k.startswith("__")}
+    for k, v in flat.items():
+        digest = hashlib.sha256(v.tobytes()).hexdigest()[:16]
+        if meta["sha256"].get(k) != digest:
+            raise ValueError(f"{path}: checksum mismatch for {k}")
+    return model_type, _unflatten(flat)
+
+
+def is_int8_native(path: Path) -> bool:
+    if Path(path).suffix != ".npz":
+        return False
+    try:
+        with np.load(path) as data:
+            if "__format__" not in data.files:
+                return False
+            return str(np.asarray(data["__format__"])) == INT8_FORMAT
+    except Exception:
+        return False
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(
         description="Convert torchvision CNN weights to the native format")
@@ -177,6 +238,18 @@ def build_parser() -> argparse.ArgumentParser:
                         choices=["vgg16", "resnet50"])
     parser.add_argument("--output", type=str, required=True,
                         help="Output native weights file (.npz)")
+    parser.add_argument("--emit-int8", type=str, default=None,
+                        help="Also emit a calibrated W8A8 int8 weights file "
+                             "(vcw-int8-v1; serve with variant='int8' — "
+                             "no per-process calibration)")
+    parser.add_argument("--calib-frames", type=str, default=None,
+                        help="Calibration frames for --emit-int8: a .npy of "
+                             "(N, H, W, 3) uint8 RGB frames representative "
+                             "of serving data")
+    parser.add_argument("--calib-random", type=int, default=None,
+                        help="Calibrate --emit-int8 on N random frames "
+                             "instead (pipeline testing only; real "
+                             "deployments should pass --calib-frames)")
     parser.add_argument("--log-level", type=str, default="INFO")
     return parser
 
@@ -187,6 +260,30 @@ def main(argv=None) -> None:
     meta = convert(Path(args.input), args.model_type, Path(args.output))
     print(json.dumps({k: meta[k] for k in
                       ("format", "model_type", "n_params")}))
+    if args.emit_int8:
+        if (args.calib_frames is None) == (args.calib_random is None):
+            raise SystemExit(
+                "--emit-int8 needs exactly one of --calib-frames / "
+                "--calib-random")
+        if args.calib_frames:
+            frames = np.load(args.calib_frames)
+            if frames.dtype != np.uint8 or frames.ndim != 4:
+                raise SystemExit(
+                    f"--calib-frames must be (N, H, W, 3) uint8; got "
+                    f"{frames.dtype} {frames.shape}")
+        else:
+            logger.warning("Calibrating on RANDOM frames — fine for "
+                           "pipeline tests, not for serving quality")
+            frames = np.random.RandomState(0).randint(
+                0, 256, (args.calib_random, 224, 224, 3), np.uint8)
+        from ..models.backbones import FeatureExtractor
+
+        fx = FeatureExtractor(args.model_type, weights_path=Path(args.output),
+                              variant="int8")
+        fx.calibrate_int8(frames)
+        qmeta = fx.save_int8(Path(args.emit_int8))
+        print(json.dumps({k: qmeta[k] for k in
+                          ("format", "model_type", "int8_bytes")}))
 
 
 if __name__ == "__main__":

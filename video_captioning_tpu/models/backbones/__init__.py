@@ -89,8 +89,34 @@ class FeatureExtractor:
         self.compute_dtype = jnp.dtype(compute_dtype)
 
         if weights_path is not None:
-            from ...cli.convert_weights import is_native, load_native
+            from ...cli.convert_weights import (
+                is_int8_native, is_native, load_native)
 
+            if is_int8_native(weights_path):
+                # Pre-calibrated W8A8 file (vcw-int8-v1, written by
+                # save_int8 / the convert-weights --emit-int8 CLI): load
+                # the quantized tree directly — no fp32 weights and no
+                # per-process calibration.
+                from ...cli.convert_weights import load_int8_weights
+
+                if variant != "int8":
+                    raise ValueError(
+                        f"{weights_path} holds int8-quantized weights; "
+                        "construct with variant='int8' to use them"
+                    )
+                loaded_type, qp = load_int8_weights(weights_path)
+                if loaded_type != model_type:
+                    raise ValueError(
+                        f"{weights_path} holds {loaded_type} weights but "
+                        f"{model_type} was requested"
+                    )
+                self.params = None  # quantized-only; no fp32 tree
+                self._int8_calibrated = False
+                self._finalize_int8(qp)
+                logger.info(
+                    f"Loaded quantized {model_type} weights from "
+                    f"{weights_path}")
+                return
             if is_native(weights_path):
                 # Converted .vcw.npz (cli/convert_weights.py): checksummed
                 # native pytree, no torch-format parsing at load time.
@@ -180,21 +206,26 @@ class FeatureExtractor:
                 - np.asarray(_IMAGENET_MEAN)) / np.asarray(_IMAGENET_STD)
         if self.model_type == "resnet50":
             from .resnet_int8 import (
-                apply_resnet50_int8 as apply_int8,
                 calibrate_resnet50_int8, quantize_resnet50_int8)
 
             scales = calibrate_resnet50_int8(
                 self._folded, jnp.asarray(norm), batch_size=self.batch_size)
-            self._run_params = quantize_resnet50_int8(self._folded, scales)
+            qp = quantize_resnet50_int8(self._folded, scales)
         else:
-            from .vgg_int8 import (
-                apply_vgg16_int8 as apply_int8,
-                calibrate_vgg16_int8, quantize_vgg16_int8)
+            from .vgg_int8 import calibrate_vgg16_int8, quantize_vgg16_int8
 
             scales = calibrate_vgg16_int8(
                 self.params, jnp.asarray(norm), batch_size=self.batch_size)
-            self._run_params = quantize_vgg16_int8(self.params, scales)
+            qp = quantize_vgg16_int8(self.params, scales)
+        self._finalize_int8(qp)
 
+    def _finalize_int8(self, qp) -> None:
+        """Build the jitted int8 extract program from a quantized tree."""
+        if self.model_type == "resnet50":
+            from .resnet_int8 import apply_resnet50_int8 as apply_int8
+        else:
+            from .vgg_int8 import apply_vgg16_int8 as apply_int8
+        self._run_params = qp
         dtype = self.compute_dtype
 
         def extract_batch(params, frames_u8):
@@ -204,6 +235,18 @@ class FeatureExtractor:
 
         self._extract = jax.jit(extract_batch)
         self._int8_calibrated = True
+
+    def save_int8(self, path) -> dict:
+        """Persist the calibrated W8A8 tree (see convert_weights
+        --emit-int8); load it back by constructing with
+        ``variant="int8", weights_path=path``."""
+        if not self._int8_calibrated:
+            raise ValueError(
+                "int8 extractor is not calibrated yet — extract a batch or "
+                "call calibrate_int8(frames) first")
+        from ...cli.convert_weights import save_int8_weights
+
+        return save_int8_weights(path, self.model_type, self._run_params)
 
     def extract(self, frames: np.ndarray) -> np.ndarray:
         """(N, H, W, 3) uint8 RGB frames → (N, feature_dim) float32."""
