@@ -136,9 +136,15 @@ def test_int8_save_load_roundtrip(tmp_path):
     assert fx2._int8_calibrated  # no lazy calibration needed
     np.testing.assert_array_equal(feats, fx2.extract(frames))
 
-    # Wrong-variant and wrong-model guards.
+    # A quantized file implies variant="int8" when none is given.
+    fx3 = FeatureExtractor("resnet50", None, batch_size=4,
+                           weights_path=qfile)
+    assert fx3.variant == "int8"
+    np.testing.assert_array_equal(feats, fx3.extract(frames))
+    # Explicit non-int8 variant and wrong-model guards.
     with pytest.raises(ValueError, match="variant='int8'"):
-        FeatureExtractor("resnet50", None, weights_path=qfile)
+        FeatureExtractor("resnet50", None, weights_path=qfile,
+                         variant="folded")
     with pytest.raises(ValueError, match="holds resnet50"):
         FeatureExtractor("vgg16", None, weights_path=qfile, variant="int8")
 
@@ -182,3 +188,18 @@ def test_int8_unquantized_file_guard(tmp_path):
                            allow_random_init=True, seed=4, variant="int8")
     with pytest.raises(ValueError, match="not calibrated"):
         fx3.save_int8(tmp_path / "nope.npz")
+
+
+def test_int8_save_load_roundtrip_vgg16(tmp_path):
+    from video_captioning_tpu.models.backbones import FeatureExtractor
+
+    frames = np.random.RandomState(9).randint(0, 255, (4, 64, 64, 3), np.uint8)
+    fx = FeatureExtractor("vgg16", None, batch_size=4,
+                          allow_random_init=True, seed=2, variant="int8")
+    fx.calibrate_int8(frames)
+    feats = fx.extract(frames)
+    qfile = tmp_path / "vgg16.int8.npz"
+    fx.save_int8(qfile)
+    fx2 = FeatureExtractor("vgg16", None, batch_size=4, weights_path=qfile)
+    assert fx2.variant == "int8" and fx2._int8_calibrated
+    np.testing.assert_array_equal(feats, fx2.extract(frames))

@@ -65,7 +65,13 @@ class FeatureExtractor:
 
         # ResNet50 forward variant (xla | folded | fused | fused_s2d |
         # int8 — see KernelConfig.resnet50_variant); VGG16 has no BN to
-        # fold so only "xla" applies.
+        # fold so only "xla" applies. A quantized (vcw-int8-v1) weights
+        # file implies variant="int8" — the file IS the variant.
+        if variant is None and weights_path is not None:
+            from ...cli.convert_weights import is_int8_native
+
+            if is_int8_native(weights_path):
+                variant = "int8"
         if variant is None:
             if model_type == "resnet50":
                 from ...config import KernelConfig
