@@ -203,3 +203,55 @@ def test_int8_save_load_roundtrip_vgg16(tmp_path):
     fx2 = FeatureExtractor("vgg16", None, batch_size=4, weights_path=qfile)
     assert fx2.variant == "int8" and fx2._int8_calibrated
     np.testing.assert_array_equal(feats, fx2.extract(frames))
+
+
+def test_int8_file_missing_leaf_detected(tmp_path):
+    """Deleting leaves (not just mutating them) fails the manifest check."""
+    from video_captioning_tpu.cli import convert_weights
+    from video_captioning_tpu.models.backbones import FeatureExtractor
+
+    frames = np.random.RandomState(10).randint(0, 255, (4, 64, 64, 3), np.uint8)
+    fx = FeatureExtractor("resnet50", None, batch_size=4,
+                          allow_random_init=True, seed=4, variant="int8")
+    fx.calibrate_int8(frames)
+    qfile = tmp_path / "q.npz"
+    fx.save_int8(qfile)
+
+    data = dict(np.load(qfile))
+    victim = next(k for k in data if k.startswith("stages/3/2/"))
+    removed = {k: v for k, v in data.items()
+               if not k.startswith("stages/3/2/")}
+    np.savez(qfile, **removed)
+    with pytest.raises(ValueError, match="leaf set"):
+        convert_weights.load_int8_weights(qfile)
+    assert victim  # sanity: something was actually removed
+
+
+def test_int8_guard_errors(tmp_path):
+    from video_captioning_tpu.cli import convert_weights
+    from video_captioning_tpu.models.backbones import FeatureExtractor
+
+    frames = np.random.RandomState(11).randint(0, 255, (4, 64, 64, 3), np.uint8)
+    fx = FeatureExtractor("resnet50", None, batch_size=4,
+                          allow_random_init=True, seed=4, variant="int8")
+    fx.calibrate_int8(frames)
+    # np.savez would silently append .npz; we refuse the misleading path.
+    with pytest.raises(ValueError, match="must end in .npz"):
+        fx.save_int8(tmp_path / "weights.int8")
+    qfile = tmp_path / "q.npz"
+    fx.save_int8(qfile)
+
+    # Recalibrating an extractor loaded from a quantized file is a clear
+    # error (no fp32 weights to calibrate from), not an AttributeError.
+    fx2 = FeatureExtractor("resnet50", None, batch_size=4, weights_path=qfile)
+    with pytest.raises(ValueError, match="quantized weights file"):
+        fx2.calibrate_int8(frames)
+
+    # --calib-random must be >= 1.
+    with pytest.raises(SystemExit, match="at least 1"):
+        convert_weights.main([
+            "--input", "x.npz", "--model-type", "resnet50",
+            "--output", str(tmp_path / "o.npz"),
+            "--emit-int8", str(tmp_path / "o8.npz"),
+            "--calib-random", "0",
+        ])

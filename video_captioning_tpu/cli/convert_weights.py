@@ -101,6 +101,60 @@ def _unflatten(flat: Dict[str, np.ndarray]):
     return listify(root)
 
 
+def _save_checksummed_npz(output_path: Path, fmt: str, model_type: str,
+                          tree, extra_meta: Dict = None) -> dict:
+    """Shared checksummed-npz container writer (vcw-v1 / vcw-int8-v1)."""
+    output_path = Path(output_path)
+    if output_path.suffix != ".npz":
+        raise ValueError(
+            f"weights file must end in .npz — np.savez would silently "
+            f"write {output_path}.npz and loaders would miss it: "
+            f"{output_path}"
+        )
+    flat = {k: np.asarray(v) for k, v in _flatten(tree).items()}
+    digests = {k: hashlib.sha256(v.tobytes()).hexdigest()[:16]
+               for k, v in flat.items()}
+    meta = {
+        "format": fmt,
+        "model_type": model_type,
+        "n_params": int(sum(v.size for v in flat.values())),
+        "sha256": digests,
+        **(extra_meta or {}),
+    }
+    np.savez(
+        output_path,
+        __format__=np.asarray(fmt),
+        __model_type__=np.asarray(model_type),
+        __meta__=np.asarray(json.dumps(meta)),
+        **flat,
+    )
+    return meta
+
+
+def _load_checksummed_npz(path: Path, fmt: str):
+    """Shared verified loader: format marker, COMPLETE leaf set, and
+    per-leaf sha256 digests must all match the recorded metadata."""
+    data = dict(np.load(path))
+    if "__format__" not in data or str(data["__format__"]) != fmt:
+        raise ValueError(f"{path} is not a {fmt} weights file")
+    model_type = str(data["__model_type__"])
+    meta = json.loads(str(data["__meta__"]))
+    flat = {k: v for k, v in data.items() if not k.startswith("__")}
+    recorded = set(meta["sha256"])
+    if set(flat) != recorded:
+        missing = sorted(recorded - set(flat))[:3]
+        extra = sorted(set(flat) - recorded)[:3]
+        raise ValueError(
+            f"{path}: leaf set does not match the recorded manifest "
+            f"(missing e.g. {missing}, unexpected e.g. {extra})"
+        )
+    for k, v in flat.items():
+        digest = hashlib.sha256(v.tobytes()).hexdigest()[:16]
+        if meta["sha256"][k] != digest:
+            raise ValueError(f"{path}: checksum mismatch for {k}")
+    return model_type, _unflatten(flat)
+
+
 def convert(input_path: Path, model_type: str, output_path: Path) -> dict:
     """torchvision state dict file -> native .vcw.npz; returns metadata."""
     from ..models.backbones.resnet import load_torch_resnet50
@@ -116,26 +170,10 @@ def convert(input_path: Path, model_type: str, output_path: Path) -> dict:
             )
     loader = load_torch_vgg16 if model_type == "vgg16" else load_torch_resnet50
     params = loader(state)
-    flat = {k: np.asarray(v) for k, v in _flatten(params).items()}
-
-    digests = {k: hashlib.sha256(v.tobytes()).hexdigest()[:16]
-               for k, v in flat.items()}
-    meta = {
-        "format": NATIVE_FORMAT,
-        "model_type": model_type,
-        "source": str(input_path),
-        "n_params": int(sum(v.size for v in flat.values())),
-        "sha256": digests,
-    }
-    np.savez(
-        output_path,
-        __format__=np.asarray(NATIVE_FORMAT),
-        __model_type__=np.asarray(model_type),
-        __meta__=np.asarray(json.dumps(meta)),
-        **flat,
-    )
+    meta = _save_checksummed_npz(output_path, NATIVE_FORMAT, model_type,
+                                 params, {"source": str(input_path)})
     logger.info(
-        f"Wrote {output_path}: {len(flat)} arrays, "
+        f"Wrote {output_path}: {len(meta['sha256'])} arrays, "
         f"{meta['n_params']:,} parameters"
     )
     return meta
@@ -144,24 +182,23 @@ def convert(input_path: Path, model_type: str, output_path: Path) -> dict:
 def load_native(path: Path):
     """Load a converted .vcw.npz -> (model_type, params pytree).
 
-    Verifies the per-leaf sha256 digests recorded at conversion time.
+    Verifies the format marker, complete leaf set, and per-leaf sha256
+    digests recorded at conversion time.
     """
-    data = dict(np.load(path))
-    if str(data.get("__format__")) == INT8_FORMAT:
-        raise ValueError(
-            f"{path} holds QUANTIZED ({INT8_FORMAT}) weights — construct "
-            "the FeatureExtractor with variant='int8' to load them"
-        )
-    if "__format__" not in data or str(data["__format__"]) != NATIVE_FORMAT:
-        raise ValueError(f"{path} is not a {NATIVE_FORMAT} weights file")
-    model_type = str(data["__model_type__"])
-    meta = json.loads(str(data["__meta__"]))
-    flat = {k: v for k, v in data.items() if not k.startswith("__")}
-    for k, v in flat.items():
-        digest = hashlib.sha256(v.tobytes()).hexdigest()[:16]
-        if meta["sha256"].get(k) != digest:
-            raise ValueError(f"{path}: checksum mismatch for {k}")
-    return model_type, _unflatten(flat)
+    try:
+        with np.load(path) as data:
+            if ("__format__" in data.files
+                    and str(np.asarray(data["__format__"])) == INT8_FORMAT):
+                raise ValueError(
+                    f"{path} holds QUANTIZED ({INT8_FORMAT}) weights — "
+                    "construct the FeatureExtractor with variant='int8' to "
+                    "load them"
+                )
+    except ValueError:
+        raise
+    except Exception:
+        pass  # not an npz at all; the loader below raises the format error
+    return _load_checksummed_npz(path, NATIVE_FORMAT)
 
 
 def is_native(path: Path) -> bool:
@@ -178,43 +215,20 @@ def save_int8_weights(output_path: Path, model_type: str, qp) -> dict:
     """Persist a calibrated W8A8 tree (resnet_int8/vgg_int8 qp pytree) as a
     checksummed ``vcw-int8-v1`` .npz — calibrate ONCE offline, serve from
     the file (no per-process calibration batches)."""
-    flat = {k: np.asarray(v) for k, v in _flatten(qp).items()}
-    digests = {k: hashlib.sha256(v.tobytes()).hexdigest()[:16]
-               for k, v in flat.items()}
-    meta = {
-        "format": INT8_FORMAT,
-        "model_type": model_type,
-        "n_params": int(sum(v.size for v in flat.values())),
-        "int8_bytes": int(sum(v.nbytes for v in flat.values()
-                              if v.dtype == np.int8)),
-        "sha256": digests,
-    }
-    np.savez(
-        output_path,
-        __format__=np.asarray(INT8_FORMAT),
-        __model_type__=np.asarray(model_type),
-        __meta__=np.asarray(json.dumps(meta)),
-        **flat,
-    )
+    flat = _flatten(qp)
+    int8_bytes = int(sum(np.asarray(v).nbytes for v in flat.values()
+                         if np.asarray(v).dtype == np.int8))
+    meta = _save_checksummed_npz(output_path, INT8_FORMAT, model_type, qp,
+                                 {"int8_bytes": int8_bytes})
     logger.info(f"Wrote {output_path}: quantized {model_type}, "
-                f"{meta['int8_bytes']:,} int8 bytes")
+                f"{int8_bytes:,} int8 bytes")
     return meta
 
 
 def load_int8_weights(path: Path):
     """Load a ``vcw-int8-v1`` file -> (model_type, qp pytree), verifying
-    the per-leaf digests."""
-    data = dict(np.load(path))
-    if str(data.get("__format__")) != INT8_FORMAT:
-        raise ValueError(f"{path} is not a {INT8_FORMAT} weights file")
-    model_type = str(data["__model_type__"])
-    meta = json.loads(str(data["__meta__"]))
-    flat = {k: v for k, v in data.items() if not k.startswith("__")}
-    for k, v in flat.items():
-        digest = hashlib.sha256(v.tobytes()).hexdigest()[:16]
-        if meta["sha256"].get(k) != digest:
-            raise ValueError(f"{path}: checksum mismatch for {k}")
-    return model_type, _unflatten(flat)
+    the format marker, complete leaf set, and per-leaf digests."""
+    return _load_checksummed_npz(path, INT8_FORMAT)
 
 
 def is_int8_native(path: Path) -> bool:
@@ -257,14 +271,19 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
     setup_logging(args.log_level)
-    meta = convert(Path(args.input), args.model_type, Path(args.output))
-    print(json.dumps({k: meta[k] for k in
-                      ("format", "model_type", "n_params")}))
+    # Validate calibration flags BEFORE the (expensive) conversion so a
+    # bad invocation fails fast.
     if args.emit_int8:
         if (args.calib_frames is None) == (args.calib_random is None):
             raise SystemExit(
                 "--emit-int8 needs exactly one of --calib-frames / "
                 "--calib-random")
+        if args.calib_random is not None and args.calib_random < 1:
+            raise SystemExit("--calib-random needs at least 1 frame")
+    meta = convert(Path(args.input), args.model_type, Path(args.output))
+    print(json.dumps({k: meta[k] for k in
+                      ("format", "model_type", "n_params")}))
+    if args.emit_int8:
         if args.calib_frames:
             frames = np.load(args.calib_frames)
             if frames.dtype != np.uint8 or frames.ndim != 4:

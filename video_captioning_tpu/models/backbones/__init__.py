@@ -208,6 +208,13 @@ class FeatureExtractor:
     def calibrate_int8(self, frames: np.ndarray) -> None:
         """Calibrate the int8 variant's activation scales on uint8 frames
         (representative serving data; a few hundred frames suffice)."""
+        if self.params is None:
+            raise ValueError(
+                "this extractor was loaded from a quantized weights file "
+                "and holds no fp32 weights; recalibration needs the "
+                "original fp32 weights_path (re-run convert_weights "
+                "--emit-int8 with new calibration frames instead)"
+            )
         norm = (frames.astype(np.float32) / 255.0
                 - np.asarray(_IMAGENET_MEAN)) / np.asarray(_IMAGENET_STD)
         if self.model_type == "resnet50":
@@ -231,7 +238,11 @@ class FeatureExtractor:
             from .resnet_int8 import apply_resnet50_int8 as apply_int8
         else:
             from .vgg_int8 import apply_vgg16_int8 as apply_int8
-        self._run_params = qp
+        # Device-resident leaves: file loads hand us host numpy arrays,
+        # and numpy jit arguments re-upload per call (~25-135 MB/batch
+        # over a slow link); jnp.asarray is a no-op for the in-process
+        # calibration path whose leaves already live on device.
+        self._run_params = jax.tree_util.tree_map(jnp.asarray, qp)
         dtype = self.compute_dtype
 
         def extract_batch(params, frames_u8):
