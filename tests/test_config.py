@@ -44,6 +44,18 @@ def test_attention_type_validation():
         cfg.validate()
 
 
+def test_resnet50_variant_validation():
+    cfg = Config()
+    # Every FeatureExtractor-accepted variant must pass config validation
+    # (int8 is configured via YAML/--config for serving deployments).
+    for v in ("xla", "folded", "fused", "fused_s2d", "int8"):
+        cfg.kernels.resnet50_variant = v
+        cfg.validate()
+    cfg.kernels.resnet50_variant = "bogus"
+    with pytest.raises(ValueError):
+        cfg.validate()
+
+
 def test_json_roundtrip(tmp_path):
     cfg = Config()
     cfg.training.batch_size = 7

@@ -289,7 +289,9 @@ class Config:
                 f"context_axis {self.parallel.context_axis!r} is not one of "
                 f"axis_names {self.parallel.axis_names}"
             )
-        if self.kernels.resnet50_variant not in ("xla", "folded", "fused", "fused_s2d"):
+        if self.kernels.resnet50_variant not in (
+            "xla", "folded", "fused", "fused_s2d", "int8"
+        ):
             raise ValueError(
                 f"Unknown resnet50_variant: {self.kernels.resnet50_variant}"
             )
