@@ -53,6 +53,18 @@ class ModelConfig:
     max_sequence_length: int = 20
     video_sequence_length: int = 80
 
+    # Model family (no reference analog — the reference is LSTM-only).
+    # "lstm": reference-parity BiLSTM encoder + attention LSTM decoder.
+    # "transformer": TPU-first pre-LN encoder-decoder transformer
+    # (models/transformer.py): teacher forcing is ONE fully parallel pass
+    # (no sequential scan), decode runs on-device with per-layer KV caches.
+    architecture: str = "lstm"
+    transformer_num_layers: int = 2        # encoder self-attention blocks
+    transformer_decoder_layers: int = 2    # decoder blocks
+    transformer_num_heads: int = 8
+    transformer_mlp_ratio: int = 4
+    transformer_dropout: float = 0.1
+
 
 @dataclass
 class DataConfig:
@@ -281,6 +293,18 @@ class Config:
             raise ValueError(f"Unknown luong_score: {self.model.luong_score}")
         if self.model.encoder_hidden_dim % self.model.attention_num_heads != 0:
             raise ValueError("encoder_hidden_dim must be divisible by attention_num_heads")
+        if self.model.architecture not in ("lstm", "transformer"):
+            raise ValueError(f"Unknown architecture: {self.model.architecture}")
+        if self.model.architecture == "transformer":
+            if self.model.encoder_hidden_dim != self.model.decoder_hidden_dim:
+                raise ValueError(
+                    "transformer architecture requires encoder_hidden_dim == "
+                    "decoder_hidden_dim (shared d_model)"
+                )
+            if self.model.decoder_hidden_dim % self.model.transformer_num_heads != 0:
+                raise ValueError(
+                    "decoder_hidden_dim must be divisible by transformer_num_heads"
+                )
         if (
             self.parallel.context_axis is not None
             and self.parallel.context_axis not in self.parallel.axis_names

@@ -36,17 +36,11 @@ import jax
 import jax.numpy as jnp
 
 from ..config import Config
-from ..models import attention as attn_mod
-from ..models import decoder as decoder_mod
+from .families import make_decode_family
 
 Array = jax.Array
 
 NEG_INF = -1e9
-
-
-def _expand_for_beams(x: Array, beam_size: int) -> Array:
-    """(B, ...) → (B·K, ...) by repeating each row K times."""
-    return jnp.repeat(x, beam_size, axis=0)
 
 
 def beam_search_generate(
@@ -75,19 +69,16 @@ def beam_search_generate(
     K = beam_size
     V = dec["output_projection"]["kernel"].shape[1]
     L = max_length + 1  # +1 for the START slot
-    use_attn = config.model.use_attention
 
     # Encoder-side tensors stay UN-expanded (B, S, ·): they are identical
-    # across the K beams, and decoder_step_beam broadcasts over the beam
-    # axis in-register — K× less HBM traffic per decode step than the
+    # across the K beams, and the family's beam step broadcasts over the
+    # beam axis in-register — K× less HBM traffic per decode step than the
     # reference's literal (B·K) expansion (video_captioning_model.py:179-189).
-    enc_final = _expand_for_beams(encoder_final_state, K)  # init state only
-    state0 = decoder_mod.init_hidden_state(dec, config, enc_final)
-    attn_cache = (
-        attn_mod.precompute(config, dec["attention"], encoder_outputs)
-        if use_attn
-        else {}
+    family = make_decode_family(
+        params, config, encoder_outputs, encoder_final_state, encoder_mask,
+        num_beams=K, max_length=max_length,
     )
+    state0 = family.state0
 
     # Fused vocab-projection+top-k+logsumexp kernel (TPU): never
     # materializes the (B·K, V) logits in HBM. Weight padding/cast happens
@@ -140,19 +131,15 @@ def beam_search_generate(
         kk = min(K, V)  # a beam can propose at most V distinct tokens
         if use_fused_vocab:
             # Fused path: logits never hit HBM at all.
-            pre_vocab, new_state, _ = decoder_mod.decoder_step_beam_core(
-                dec, config, last_tokens, state, encoder_outputs, attn_cache,
-                encoder_mask,
+            pre_vocab, new_state, _ = family.step_beam_core(
+                last_tokens, state, t
             )
             top_logits, top_tokens, lse = vocab_topk_lse(pre_vocab, w_pad, b_pad, kk, vt=2048)
             top_logits = top_logits.reshape(B, K, kk)
             top_tokens = top_tokens.reshape(B, K, kk)
             lse = lse.reshape(B, K)
         else:
-            logits, new_state, _ = decoder_mod.decoder_step_beam(
-                dec, config, last_tokens, state, encoder_outputs, attn_cache,
-                encoder_mask,
-            )
+            logits, new_state, _ = family.step_beam(last_tokens, state, t)
             logits32 = logits.astype(jnp.float32).reshape(B, K, V)
             # rank-2 operand: XLA only lowers top_k to its fast TopK custom
             # fusion for 2-D inputs (3-D falls back to a full per-row sort,
@@ -173,10 +160,8 @@ def beam_search_generate(
             top_tokens.reshape(B, K * kk), flat_idx, axis=1
         ).astype(jnp.int32)
 
-        # Rebeaming as one-hot selects: K is tiny (beams), so a masked
-        # reduce over the beam axis is a handful of VPU ops, where
-        # take_along_axis lowers to latency-bound custom-gather fusions
-        # (profiled at ~10-40 µs each at B=256 despite touching only KBs).
+        # Rebeaming as one-hot selects (see families.py: one-hot reduces
+        # beat take_along_axis custom-gather fusions at beam scale).
         onehot = (
             beam_idx[:, :, None] == jnp.arange(K, dtype=jnp.int32)[None, None, :]
         )  # (B, Knew, Kold)
@@ -192,15 +177,9 @@ def beam_search_generate(
             gathered,
         )
 
-        # Rebeam LSTM state: (layers, B·K, H), select along the beam axis.
-        oh_f = onehot.astype(new_state[0].dtype)
-
-        def rebeam(x):
-            layers, _, H = x.shape
-            xr = x.reshape(layers, B, K, H)
-            return jnp.einsum("bnk,lbkh->lbnh", oh_f, xr).reshape(layers, B * K, H)
-
-        new_state = (rebeam(new_state[0]), rebeam(new_state[1]))
+        # Rebeam the decode state (LSTM hidden tuple / transformer KV
+        # caches) along the beam axis.
+        new_state = family.rebeam(new_state, onehot)
 
         is_end = token_idx == end_token_id
         # Length penalty: at step t the hypothesis holds t+1 generated

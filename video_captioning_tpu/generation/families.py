@@ -1,0 +1,199 @@
+"""Model-family decode adapters for the generation loops.
+
+The greedy / sampling / beam loops (greedy.py, sampling.py, beam.py) are
+family-agnostic: fixed-shape ``lax.while_loop``s over (tokens, scores,
+decode state). What differs between the LSTM family (models/decoder.py)
+and the transformer family (models/transformer.py) is only
+
+* how decode state is initialised (LSTM hidden tuple vs. per-layer KV
+  caches),
+* what one decode step looks like (recurrence vs. cached attention — the
+  transformer step also needs the position ``t``),
+* how state is rebeamed after a beam-search re-ranking step.
+
+``make_decode_family`` packages those three behind one interface so the
+loop code — including the tuned pieces: beam-shared un-expanded encoder
+tensors, hierarchical exact top-k, the fused vocab-projection+top-k Pallas
+path, one-hot rebeaming — is written once and serves both families.
+
+No reference analog: the reference (src/models/*) is LSTM-only and its
+decode loops are host-side Python per step.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from ..models import attention as attn_mod
+from ..models import decoder as decoder_mod
+
+Array = jax.Array
+
+
+class DecodeFamily(NamedTuple):
+    """Decode-loop interface for one model family.
+
+    state0: initial decode state for B·K rows (K = num_beams).
+    step:           (tokens (N,), state, t) → (logits (N, V), state, weights|None)
+    step_beam:      (tokens (B, K), state, t) → (logits (B·K, V), state, weights|None)
+    step_beam_core: same, but stops at the pre-vocab hidden (B·K, H) for
+                    the fused vocab-top-k kernel.
+    rebeam:         (state, onehot (B, K_new, K_old) bool) → state
+    has_weights:    whether ``step`` yields per-step attention weights.
+    """
+
+    state0: Any
+    step: Callable
+    step_beam: Callable
+    step_beam_core: Callable
+    rebeam: Callable
+    has_weights: bool
+
+
+def make_decode_family(
+    params: dict,
+    config: Config,
+    encoder_outputs: Array,
+    encoder_final_state: Array,
+    encoder_mask: Optional[Array],
+    num_beams: int = 1,
+    max_length: int = 20,
+) -> DecodeFamily:
+    dec = params["decoder"] if "decoder" in params else params
+    if config.model.architecture == "transformer":
+        return _transformer_family(
+            dec, config, encoder_outputs, encoder_mask, num_beams, max_length
+        )
+    return _lstm_family(
+        dec, config, encoder_outputs, encoder_final_state, encoder_mask,
+        num_beams,
+    )
+
+
+# --------------------------------------------------------------------------
+# LSTM family (models/decoder.py) — reference-parity recurrence
+# --------------------------------------------------------------------------
+
+
+def _lstm_family(
+    dec: dict,
+    config: Config,
+    encoder_outputs: Array,
+    encoder_final_state: Array,
+    encoder_mask: Optional[Array],
+    K: int,
+) -> DecodeFamily:
+    use_attn = config.model.use_attention
+    attn_cache = (
+        attn_mod.precompute(config, dec["attention"], encoder_outputs)
+        if use_attn
+        else {}
+    )
+    enc_final = (
+        jnp.repeat(encoder_final_state, K, axis=0) if K > 1
+        else encoder_final_state
+    )
+    state0 = decoder_mod.init_hidden_state(dec, config, enc_final)
+
+    def step(tokens, state, t):
+        return decoder_mod.decoder_step(
+            dec, config, tokens, state, encoder_outputs, attn_cache,
+            encoder_mask, train=False,
+        )
+
+    def step_beam(tokens_bk, state, t):
+        return decoder_mod.decoder_step_beam(
+            dec, config, tokens_bk, state, encoder_outputs, attn_cache,
+            encoder_mask,
+        )
+
+    def step_beam_core(tokens_bk, state, t):
+        return decoder_mod.decoder_step_beam_core(
+            dec, config, tokens_bk, state, encoder_outputs, attn_cache,
+            encoder_mask,
+        )
+
+    def rebeam(state, onehot):
+        # Rebeaming as one-hot selects: K is tiny (beams), so a masked
+        # reduce over the beam axis is a handful of VPU ops, where
+        # take_along_axis lowers to latency-bound custom-gather fusions
+        # (profiled at ~10-40 µs each at B=256 despite touching only KBs).
+        oh_f = onehot.astype(state[0].dtype)
+        B, Kn, Ko = onehot.shape
+
+        def rb(x):
+            layers, _, H = x.shape
+            xr = x.reshape(layers, B, Ko, H)
+            return jnp.einsum("bnk,lbkh->lbnh", oh_f, xr).reshape(
+                layers, B * Kn, H
+            )
+
+        return (rb(state[0]), rb(state[1]))
+
+    return DecodeFamily(state0, step, step_beam, step_beam_core, rebeam, use_attn)
+
+
+# --------------------------------------------------------------------------
+# Transformer family (models/transformer.py) — KV-cache attention decode
+# --------------------------------------------------------------------------
+
+
+def _transformer_family(
+    dec: dict,
+    config: Config,
+    encoder_outputs: Array,
+    encoder_mask: Optional[Array],
+    K: int,
+    max_length: int,
+) -> DecodeFamily:
+    from ..models import transformer as tr
+
+    B = encoder_outputs.shape[0]
+    # Cross-attention K/V computed ONCE per generation call; stays
+    # UN-expanded (B, S, D) — the decode step broadcasts over the beam
+    # axis in-register (same HBM saving as the LSTM beam path).
+    cross_kv = tr.precompute_cross_kv(dec, encoder_outputs)
+    state0 = tr.init_decode_state(
+        dec, config, B * K, encoder_outputs.dtype, max_positions=max_length
+    )
+
+    def step(tokens, state, t):
+        return tr.decode_step(
+            dec, config, tokens, state, t, cross_kv, encoder_mask
+        )
+
+    def step_beam(tokens_bk, state, t):
+        b, k = tokens_bk.shape
+        return tr.decode_step(
+            dec, config, tokens_bk.reshape(b * k), state, t, cross_kv,
+            encoder_mask,
+        )
+
+    def step_beam_core(tokens_bk, state, t):
+        b, k = tokens_bk.shape
+        return tr.decode_step_core(
+            dec, config, tokens_bk.reshape(b * k), state, t, cross_kv,
+            encoder_mask,
+        )
+
+    def rebeam(state, onehot):
+        # Whole-cache rebeam: candidate n's prefix is old beam k's prefix
+        # including the K/V row the step just wrote at position t, so the
+        # full (T, D) cache rows are selected per beam.
+        oh_f = onehot.astype(state["k"].dtype)
+        B_, Kn, Ko = onehot.shape
+
+        def rb(x):
+            nb, _, T, D = x.shape
+            xr = x.reshape(nb, B_, Ko, T, D)
+            return jnp.einsum("bnk,lbktd->lbntd", oh_f, xr).reshape(
+                nb, B_ * Kn, T, D
+            )
+
+        return {"k": rb(state["k"]), "v": rb(state["v"])}
+
+    return DecodeFamily(state0, step, step_beam, step_beam_core, rebeam, True)

@@ -20,8 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import Config
-from ..models import attention as attn_mod
-from ..models import decoder as decoder_mod
+from .families import make_decode_family
 
 Array = jax.Array
 
@@ -39,15 +38,15 @@ def greedy_generate(
 ) -> Dict[str, Array]:
     """Greedy decode. Returns ``generated_tokens`` (B, max_length) padded
     with PAD(0) after the all-ended step, plus ``attention_weights``
-    (B, max_length, S) when attention is enabled."""
-    dec = params["decoder"] if "decoder" in params else params
+    (B, max_length, S) when attention is enabled. Model family (LSTM or
+    transformer) is selected by ``config.model.architecture``."""
     B, S, _ = encoder_outputs.shape
-    use_attn = config.model.use_attention
 
-    state0 = decoder_mod.init_hidden_state(dec, config, encoder_final_state)
-    attn_cache = (
-        attn_mod.precompute(config, dec["attention"], encoder_outputs) if use_attn else {}
+    family = make_decode_family(
+        params, config, encoder_outputs, encoder_final_state, encoder_mask,
+        num_beams=1, max_length=max_length,
     )
+    state0 = family.state0
 
     tokens0 = jnp.zeros((B, max_length), jnp.int32)
     weights0 = jnp.zeros((B, max_length, S), encoder_outputs.dtype)
@@ -60,10 +59,7 @@ def greedy_generate(
 
     def body(carry):
         t, input_tok, state, tokens, weights, ended = carry
-        logits, new_state, w = decoder_mod.decoder_step(
-            dec, config, input_tok, state, encoder_outputs, attn_cache,
-            encoder_mask, train=False,
-        )
+        logits, new_state, w = family.step(input_tok, state, t)
         if temperature != 1.0:
             logits = logits / temperature
         next_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -78,6 +74,6 @@ def greedy_generate(
     )
 
     result = {"generated_tokens": tokens}
-    if use_attn:
+    if family.has_weights:
         result["attention_weights"] = weights
     return result

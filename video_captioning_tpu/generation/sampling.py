@@ -16,8 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import Config
-from ..models import attention as attn_mod
-from ..models import decoder as decoder_mod
+from .families import make_decode_family
 
 Array = jax.Array
 
@@ -42,17 +41,13 @@ def sample_generate(
     """
     if rng is None:
         rng = jax.random.PRNGKey(0)
-    dec = params["decoder"] if "decoder" in params else params
     B, S, _ = encoder_outputs.shape
-    use_attn = config.model.use_attention
-    V = dec["output_projection"]["kernel"].shape[1]
 
-    state0 = decoder_mod.init_hidden_state(dec, config, encoder_final_state)
-    attn_cache = (
-        attn_mod.precompute(config, dec["attention"], encoder_outputs)
-        if use_attn
-        else {}
+    family = make_decode_family(
+        params, config, encoder_outputs, encoder_final_state, encoder_mask,
+        num_beams=1, max_length=max_length,
     )
+    state0 = family.state0
 
     tokens0 = jnp.zeros((B, max_length), jnp.int32)
     input0 = jnp.full((B,), start_token_id, jnp.int32)
@@ -66,10 +61,7 @@ def sample_generate(
 
     def body(carry):
         t, key, input_tok, state, tokens, ended, logprob = carry
-        logits, new_state, _ = decoder_mod.decoder_step(
-            dec, config, input_tok, state, encoder_outputs, attn_cache,
-            encoder_mask, train=False,
-        )
+        logits, new_state, _ = family.step(input_tok, state, t)
         logits = logits.astype(jnp.float32) / jnp.maximum(temperature, 1e-6)
 
         if top_k and top_k > 0:

@@ -22,6 +22,10 @@ Array = jax.Array
 
 
 def init_model(key: Array, config: Config, vocabulary_size: int) -> dict:
+    if config.model.architecture == "transformer":
+        from . import transformer as transformer_mod
+
+        return transformer_mod.init_transformer(key, config, vocabulary_size)
     k_enc, k_dec = jax.random.split(key)
     return {
         "encoder": encoder_mod.init_encoder(k_enc, config),
@@ -39,9 +43,18 @@ def encode(
     rng: Optional[Array] = None,
 ) -> Tuple[Array, Array, Array]:
     """Encode features; returns (encoder_outputs, final_state, mask)."""
-    enc_outs, final = encoder_mod.apply_encoder(
-        params["encoder"], config, video_features, video_mask, train=train, rng=rng
-    )
+    if config.model.architecture == "transformer":
+        from . import transformer as transformer_mod
+
+        enc_outs, final = transformer_mod.apply_transformer_encoder(
+            params["encoder"], config, video_features, video_mask,
+            train=train, rng=rng,
+        )
+    else:
+        enc_outs, final = encoder_mod.apply_encoder(
+            params["encoder"], config, video_features, video_mask,
+            train=train, rng=rng,
+        )
     if video_mask is None:
         video_mask = jnp.ones(video_features.shape[:2], enc_outs.dtype)
     return enc_outs, final, video_mask
@@ -69,10 +82,18 @@ def apply_model(
     enc_outs, final, mask = encode(
         params, config, video_features, video_mask, train=train, rng=r_enc
     )
-    dec_out = decoder_mod.apply_decoder(
-        params["decoder"], config, enc_outs, final, input_tokens, mask,
-        train=train, rng=r_dec,
-    )
+    if config.model.architecture == "transformer":
+        from . import transformer as transformer_mod
+
+        dec_out = transformer_mod.apply_transformer_decoder(
+            params["decoder"], config, enc_outs, input_tokens,
+            None if video_mask is None else mask, train=train, rng=r_dec,
+        )
+    else:
+        dec_out = decoder_mod.apply_decoder(
+            params["decoder"], config, enc_outs, final, input_tokens, mask,
+            train=train, rng=r_dec,
+        )
     return {
         "logits": dec_out["logits"],
         "encoder_outputs": enc_outs,

@@ -1,0 +1,479 @@
+"""Pre-LN encoder-decoder transformer captioner (TPU-first model family).
+
+No reference analog — the reference (src/models/*) is LSTM-only. This is
+the framework's second model family, selected with
+``config.model.architecture = "transformer"`` and exposed through the same
+``captioner.init_model / apply_model / encode`` + ``generation.generate``
+surface, trainer, predictor, and checkpoints as the LSTM family.
+
+Why a transformer is the TPU-native shape for this workload:
+
+* **Training is one parallel pass.** The LSTM family's teacher forcing is a
+  ``lax.scan`` over 20 sequential steps; here every position is computed at
+  once — the whole step is a handful of large ``(B·T, D)`` matmuls that
+  tile straight onto the MXU with no sequential dependency.
+* **Decode state is a KV cache, not a recurrence.** Incremental decoding
+  appends one key/value row per layer per step and attends over the prefix
+  — all fixed-shape, all on-device, same ``lax.while_loop`` discipline as
+  the LSTM generation paths (no host round-trips per step).
+* **Beam search reads encoder tensors once per video.** Cross-attention
+  K/V are precomputed from the encoder outputs and stay UN-expanded
+  ``(B, S, D)`` with the beam axis broadcast in-register — the same K×
+  HBM-traffic saving the LSTM beam path uses (models/decoder.py:
+  decoder_step_beam_core).
+
+Structure (pre-LN, GELU MLP, learned positions):
+
+* encoder: feature projection F→D, +pos, N × [LN→self-attn→res,
+  LN→MLP→res], final LN. Padded frames are masked out of the attention
+  keys (same semantics as the LSTM encoder's packed-sequence masking).
+* decoder: token embedding (+pos), M × [LN→causal self-attn→res,
+  LN→cross-attn→res, LN→MLP→res], final LN, vocab projection. The last
+  block's head-averaged cross-attention weights are returned as
+  ``attention_weights`` (B, T, S) so the attention-visualization surface
+  (predictor.explain_prediction) works identically across families.
+
+Parameter naming matches the sharding rules in parallel/sharding.py: the
+token ``embedding.table`` (V, D) shards vocab rows over the ``model`` mesh
+axis and ``decoder.output_projection`` (D, V) shards vocab columns — the
+transformer gets tensor parallelism through the exact same specs as the
+LSTM family.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from .layers import apply_linear, dropout, init_linear
+
+Array = jax.Array
+
+NEG_INF = -1e9
+
+
+# --------------------------------------------------------------------------
+# Init
+# --------------------------------------------------------------------------
+
+
+def _init_layer_norm(dim: int) -> dict:
+    return {"scale": jnp.ones((dim,), jnp.float32),
+            "bias": jnp.zeros((dim,), jnp.float32)}
+
+
+def _apply_layer_norm(p: dict, x: Array) -> Array:
+    # fp32 statistics regardless of compute dtype (bf16-safe).
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + 1e-5)
+    return (y * p["scale"] + p["bias"]).astype(x.dtype)
+
+
+def _init_attn(key: Array, d_model: int) -> dict:
+    kq, kk, kv, ko = jax.random.split(key, 4)
+    return {
+        "wq": init_linear(kq, d_model, d_model, kernel_init="xavier_uniform",
+                          zero_bias=True),
+        "wk": init_linear(kk, d_model, d_model, kernel_init="xavier_uniform",
+                          zero_bias=True),
+        "wv": init_linear(kv, d_model, d_model, kernel_init="xavier_uniform",
+                          zero_bias=True),
+        "wo": init_linear(ko, d_model, d_model, kernel_init="xavier_uniform",
+                          zero_bias=True),
+    }
+
+
+def _init_mlp(key: Array, d_model: int, ratio: int) -> dict:
+    k1, k2 = jax.random.split(key)
+    return {
+        "fc1": init_linear(k1, d_model, ratio * d_model,
+                           kernel_init="xavier_uniform", zero_bias=True),
+        "fc2": init_linear(k2, ratio * d_model, d_model,
+                           kernel_init="xavier_uniform", zero_bias=True),
+    }
+
+
+def _init_encoder_block(key: Array, d_model: int, ratio: int) -> dict:
+    ka, km = jax.random.split(key)
+    return {
+        "ln1": _init_layer_norm(d_model),
+        "self_attn": _init_attn(ka, d_model),
+        "ln2": _init_layer_norm(d_model),
+        "mlp": _init_mlp(km, d_model, ratio),
+    }
+
+
+def _init_decoder_block(key: Array, d_model: int, ratio: int) -> dict:
+    ks, kc, km = jax.random.split(key, 3)
+    return {
+        "ln1": _init_layer_norm(d_model),
+        "self_attn": _init_attn(ks, d_model),
+        "ln2": _init_layer_norm(d_model),
+        "cross_attn": _init_attn(kc, d_model),
+        "ln3": _init_layer_norm(d_model),
+        "mlp": _init_mlp(km, d_model, ratio),
+    }
+
+
+def init_transformer(key: Array, config: Config, vocabulary_size: int) -> dict:
+    m = config.model
+    D = m.decoder_hidden_dim
+    F = m.cnn_feature_dim
+    S = m.video_sequence_length
+    T = m.max_sequence_length + 1  # +1: START occupies position 0
+    ratio = m.transformer_mlp_ratio
+
+    k_enc, k_dec = jax.random.split(key)
+
+    # Encoder
+    k_proj, k_pos_e, k_blocks_e = jax.random.split(k_enc, 3)
+    enc_blocks = [
+        _init_encoder_block(k, D, ratio)
+        for k in jax.random.split(k_blocks_e, m.transformer_num_layers)
+    ]
+    encoder = {
+        "feature_projection": init_linear(k_proj, F, D),
+        "pos_embedding": 0.02 * jax.random.normal(k_pos_e, (S, D), jnp.float32),
+        "blocks": enc_blocks,
+        "ln_f": _init_layer_norm(D),
+    }
+
+    # Decoder
+    k_emb, k_pos_d, k_blocks_d, k_out = jax.random.split(k_dec, 4)
+    dec_blocks = [
+        _init_decoder_block(k, D, ratio)
+        for k in jax.random.split(k_blocks_d, m.transformer_decoder_layers)
+    ]
+    decoder = {
+        # "embedding"/"table" and "output_projection" names line up with
+        # parallel/sharding.py's TP specs (vocab rows / vocab columns).
+        "embedding": {
+            "table": 0.02 * jax.random.normal(
+                k_emb, (vocabulary_size, D), jnp.float32)
+        },
+        "pos_embedding": 0.02 * jax.random.normal(k_pos_d, (T, D), jnp.float32),
+        "blocks": dec_blocks,
+        "ln_f": _init_layer_norm(D),
+        "output_projection": init_linear(
+            k_out, D, vocabulary_size, kernel_init="xavier_uniform",
+            zero_bias=True),
+    }
+    return {"encoder": encoder, "decoder": decoder}
+
+
+# --------------------------------------------------------------------------
+# Attention primitive (full-sequence, batched)
+# --------------------------------------------------------------------------
+
+
+def _heads(x: Array, num_heads: int) -> Array:
+    """(B, T, D) → (B, T, h, dh)."""
+    B, T, D = x.shape
+    return x.reshape(B, T, num_heads, D // num_heads)
+
+
+def _mha(
+    p: dict,
+    q_in: Array,            # (B, Tq, D)
+    kv_in: Array,           # (B, Tk, D)
+    num_heads: int,
+    mask: Optional[Array],  # (B, Tq, Tk) or (1, Tq, Tk); 1 = attend
+) -> Tuple[Array, Array]:
+    """Multi-head attention. Returns (out (B, Tq, D), head-avg weights
+    (B, Tq, Tk)). Scores/softmax run in fp32."""
+    D = q_in.shape[-1]
+    dh = D // num_heads
+    q = _heads(apply_linear(p["wq"], q_in), num_heads)  # (B, Tq, h, dh)
+    k = _heads(apply_linear(p["wk"], kv_in), num_heads)
+    v = _heads(apply_linear(p["wv"], kv_in), num_heads)
+
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
+    scores = scores / math.sqrt(dh)
+    if mask is not None:
+        scores = jnp.where(mask[:, None, :, :] > 0, scores, NEG_INF)
+    weights = jax.nn.softmax(scores, axis=-1)  # (B, h, Tq, Tk)
+    ctx = jnp.einsum("bhqk,bkhd->bqhd", weights.astype(v.dtype), v)
+    out = apply_linear(p["wo"], ctx.reshape(q_in.shape))
+    return out, jnp.mean(weights, axis=1).astype(q_in.dtype)
+
+
+def _mlp(p: dict, x: Array) -> Array:
+    return apply_linear(p["fc2"], jax.nn.gelu(apply_linear(p["fc1"], x)))
+
+
+# --------------------------------------------------------------------------
+# Encoder
+# --------------------------------------------------------------------------
+
+
+def apply_transformer_encoder(
+    params: dict,
+    config: Config,
+    video_features: Array,          # (B, S, F)
+    video_mask: Optional[Array],    # (B, S), 1 = valid
+    *,
+    train: bool = False,
+    rng: Optional[Array] = None,
+) -> Tuple[Array, Array]:
+    """Returns (encoder_outputs (B, S, D), final_hidden (B, D)).
+
+    ``final_hidden`` is the masked mean over valid frames — the interface
+    slot the LSTM family fills with its projected last states. The
+    transformer decoder doesn't consume it (cross-attention reads the full
+    outputs), but the captioner API keeps one shape across families.
+    """
+    m = config.model
+    heads = m.transformer_num_heads
+    p_drop = m.transformer_dropout
+    B, S, _ = video_features.shape
+    rngs = jax.random.split(rng, 1 + 2 * len(params["blocks"])) \
+        if rng is not None else [None] * (1 + 2 * len(params["blocks"]))
+
+    x = apply_linear(params["feature_projection"], video_features)  # (B, S, D)
+    x = x + params["pos_embedding"][None, :S, :].astype(x.dtype)
+    x = dropout(x, p_drop, rngs[0], train)
+
+    attn_mask = None
+    if video_mask is not None:
+        # Keys at padded frames are masked for every query (B, S_q, S_k).
+        attn_mask = jnp.broadcast_to(video_mask[:, None, :], (B, S, S))
+
+    for i, blk in enumerate(params["blocks"]):
+        h_in = _apply_layer_norm(blk["ln1"], x)
+        h, _ = _mha(blk["self_attn"], h_in, h_in, heads, attn_mask)
+        x = x + dropout(h, p_drop, rngs[1 + 2 * i], train)
+        h = _mlp(blk["mlp"], _apply_layer_norm(blk["ln2"], x))
+        x = x + dropout(h, p_drop, rngs[2 + 2 * i], train)
+
+    x = _apply_layer_norm(params["ln_f"], x)
+
+    if video_mask is not None:
+        msk = video_mask.astype(x.dtype)[:, :, None]
+        final = (x * msk).sum(axis=1) / jnp.maximum(msk.sum(axis=1), 1.0)
+    else:
+        final = x.mean(axis=1)
+    return x, final
+
+
+# --------------------------------------------------------------------------
+# Decoder — teacher forcing (fully parallel)
+# --------------------------------------------------------------------------
+
+
+def apply_transformer_decoder(
+    params: dict,
+    config: Config,
+    encoder_outputs: Array,        # (B, S, D)
+    input_tokens: Array,           # (B, T) already-shifted inputs
+    encoder_mask: Optional[Array],  # (B, S)
+    *,
+    train: bool = False,
+    rng: Optional[Array] = None,
+) -> Dict[str, Array]:
+    """Teacher-forcing decode — every position in one pass (no scan).
+
+    Returns ``logits`` (B, T, V) and ``attention_weights`` (B, T, S): the
+    last block's head-averaged cross-attention.
+    """
+    m = config.model
+    heads = m.transformer_num_heads
+    p_drop = m.transformer_dropout
+    B, T = input_tokens.shape
+    S = encoder_outputs.shape[1]
+    n_blocks = len(params["blocks"])
+    rngs = jax.random.split(rng, 1 + 3 * n_blocks) \
+        if rng is not None else [None] * (1 + 3 * n_blocks)
+
+    emb = jnp.take(params["embedding"]["table"], input_tokens, axis=0)
+    x = emb.astype(encoder_outputs.dtype)
+    x = x + params["pos_embedding"][None, :T, :].astype(x.dtype)
+    x = dropout(x, p_drop, rngs[0], train)
+
+    causal = jnp.tril(jnp.ones((1, T, T), jnp.float32))  # (1, T, T)
+    cross_mask = None
+    if encoder_mask is not None:
+        cross_mask = jnp.broadcast_to(encoder_mask[:, None, :], (B, T, S))
+
+    cross_w = None
+    for i, blk in enumerate(params["blocks"]):
+        h_in = _apply_layer_norm(blk["ln1"], x)
+        h, _ = _mha(blk["self_attn"], h_in, h_in, heads, causal)
+        x = x + dropout(h, p_drop, rngs[1 + 3 * i], train)
+        h, cross_w = _mha(
+            blk["cross_attn"], _apply_layer_norm(blk["ln2"], x),
+            encoder_outputs, heads, cross_mask,
+        )
+        x = x + dropout(h, p_drop, rngs[2 + 3 * i], train)
+        h = _mlp(blk["mlp"], _apply_layer_norm(blk["ln3"], x))
+        x = x + dropout(h, p_drop, rngs[3 + 3 * i], train)
+
+    x = _apply_layer_norm(params["ln_f"], x)
+    logits = apply_linear(params["output_projection"], x)  # (B, T, V)
+    return {"logits": logits, "attention_weights": cross_w}
+
+
+# --------------------------------------------------------------------------
+# Incremental decode (generation): KV caches, one token per step
+# --------------------------------------------------------------------------
+
+
+def precompute_cross_kv(params: dict, encoder_outputs: Array) -> Dict[str, Array]:
+    """Cross-attention K/V for every decoder block, computed ONCE per
+    generation call (analog of models/attention.precompute). Stacked
+    (n_blocks, B, S, D); stays un-expanded across beams."""
+    ks, vs = [], []
+    for blk in params["blocks"]:
+        ks.append(apply_linear(blk["cross_attn"]["wk"], encoder_outputs))
+        vs.append(apply_linear(blk["cross_attn"]["wv"], encoder_outputs))
+    return {"k": jnp.stack(ks), "v": jnp.stack(vs)}
+
+
+def init_decode_state(
+    params: dict, config: Config, batch: int, dtype,
+    max_positions: Optional[int] = None,
+) -> Dict[str, Array]:
+    """Empty self-attention KV caches: (n_blocks, batch, T_max, D).
+
+    ``max_positions`` sizes the caches for a caller-requested decode length
+    beyond the config default (positions past the learned-position table
+    reuse its last row — dynamic_slice clamps the index)."""
+    n_blocks = len(params["blocks"])
+    T = config.model.max_sequence_length + 1
+    if max_positions is not None:
+        T = max(T, max_positions)
+    D = config.model.decoder_hidden_dim
+    return {
+        "k": jnp.zeros((n_blocks, batch, T, D), dtype),
+        "v": jnp.zeros((n_blocks, batch, T, D), dtype),
+    }
+
+
+def _cached_self_attn(
+    p: dict, x: Array, k_cache: Array, v_cache: Array, t: Array, heads: int
+) -> Tuple[Array, Array, Array]:
+    """One-query self-attention over the cache prefix.
+
+    x: (N, D) current position's (pre-LN'd) activation; k/v_cache:
+    (N, T_max, D). Writes position ``t`` and attends over positions ≤ t.
+    Returns (out (N, D), new_k, new_v).
+    """
+    N, T_max, D = k_cache.shape
+    dh = D // heads
+    q = apply_linear(p["wq"], x)                       # (N, D)
+    k_t = apply_linear(p["wk"], x)
+    v_t = apply_linear(p["wv"], x)
+    k_cache = jax.lax.dynamic_update_slice_in_dim(
+        k_cache, k_t[:, None, :], t, axis=1)
+    v_cache = jax.lax.dynamic_update_slice_in_dim(
+        v_cache, v_t[:, None, :], t, axis=1)
+
+    qh = q.reshape(N, heads, dh)
+    kh = k_cache.reshape(N, T_max, heads, dh)
+    vh = v_cache.reshape(N, T_max, heads, dh)
+    scores = jnp.einsum("nhd,nthd->nht", qh, kh).astype(jnp.float32)
+    scores = scores / math.sqrt(dh)
+    valid = jnp.arange(T_max)[None, None, :] <= t
+    scores = jnp.where(valid, scores, NEG_INF)
+    w = jax.nn.softmax(scores, axis=-1)
+    ctx = jnp.einsum("nht,nthd->nhd", w.astype(vh.dtype), vh).reshape(N, D)
+    return apply_linear(p["wo"], ctx), k_cache, v_cache
+
+
+def _cross_attn_step(
+    p: dict,
+    x: Array,              # (N, D) pre-LN'd query activations
+    ck: Array,             # (B, S, D) precomputed keys (un-expanded)
+    cv: Array,             # (B, S, D) precomputed values
+    encoder_mask: Optional[Array],  # (B, S)
+    heads: int,
+) -> Tuple[Array, Array]:
+    """One-query cross-attention; N = B·K beams broadcast over the
+    un-expanded (B, S, ·) encoder tensors. Returns (out (N, D),
+    head-avg weights (N, S))."""
+    B, S, D = ck.shape
+    K = x.shape[0] // B
+    dh = D // heads
+    q = apply_linear(p["wq"], x).reshape(B, K, heads, dh)
+    kh = ck.reshape(B, S, heads, dh)
+    vh = cv.reshape(B, S, heads, dh)
+    scores = jnp.einsum("bkhd,bshd->bkhs", q, kh).astype(jnp.float32)
+    scores = scores / math.sqrt(dh)
+    if encoder_mask is not None:
+        scores = jnp.where(
+            encoder_mask[:, None, None, :] > 0, scores, NEG_INF)
+    w = jax.nn.softmax(scores, axis=-1)  # (B, K, h, S)
+    ctx = jnp.einsum("bkhs,bshd->bkhd", w.astype(vh.dtype), vh)
+    out = apply_linear(p["wo"], ctx.reshape(B * K, D))
+    return out, jnp.mean(w, axis=2).reshape(B * K, S).astype(x.dtype)
+
+
+def decode_step_core(
+    params: dict,
+    config: Config,
+    token_ids: Array,               # (N,) int32; N = B or B·K
+    state: Dict[str, Array],        # self-attn KV caches
+    t: Array,                       # scalar int32 position
+    cross_kv: Dict[str, Array],     # (n_blocks, B, S, D) each
+    encoder_mask: Optional[Array],  # (B, S)
+) -> Tuple[Array, Dict[str, Array], Array]:
+    """One incremental decode step up to the pre-vocab hidden state.
+
+    Returns (pre_vocab (N, D), new_state, cross-attention weights (N, S)
+    from the last block). Apply ``output_projection`` for logits, or feed
+    the fused vocab-top-k kernel (ops/vocab_topk_pallas.py) — the same
+    split the LSTM family exposes via decoder_step_beam_core.
+
+    Per-step math is identical to column ``t`` of
+    ``apply_transformer_decoder`` in eval mode (gated in
+    tests/test_transformer.py::test_incremental_decode_matches_parallel).
+    """
+    m = config.model
+    heads = m.transformer_num_heads
+    dtype = state["k"].dtype
+
+    emb = jnp.take(params["embedding"]["table"], token_ids, axis=0)
+    pos = jax.lax.dynamic_slice_in_dim(params["pos_embedding"], t, 1, axis=0)
+    x = emb.astype(dtype) + pos.astype(dtype)  # (N, D)
+
+    new_k, new_v, cross_w = [], [], None
+    for i, blk in enumerate(params["blocks"]):
+        h, k_c, v_c = _cached_self_attn(
+            blk["self_attn"], _apply_layer_norm(blk["ln1"], x),
+            state["k"][i], state["v"][i], t, heads,
+        )
+        new_k.append(k_c)
+        new_v.append(v_c)
+        x = x + h
+        h, cross_w = _cross_attn_step(
+            blk["cross_attn"], _apply_layer_norm(blk["ln2"], x),
+            cross_kv["k"][i], cross_kv["v"][i], encoder_mask, heads,
+        )
+        x = x + h
+        x = x + _mlp(blk["mlp"], _apply_layer_norm(blk["ln3"], x))
+
+    x = _apply_layer_norm(params["ln_f"], x)
+    return x, {"k": jnp.stack(new_k), "v": jnp.stack(new_v)}, cross_w
+
+
+def decode_step(
+    params: dict,
+    config: Config,
+    token_ids: Array,
+    state: Dict[str, Array],
+    t: Array,
+    cross_kv: Dict[str, Array],
+    encoder_mask: Optional[Array],
+) -> Tuple[Array, Dict[str, Array], Array]:
+    """One incremental decode step → (logits (N, V), new_state,
+    cross-attention weights (N, S)). See decode_step_core."""
+    x, new_state, cross_w = decode_step_core(
+        params, config, token_ids, state, t, cross_kv, encoder_mask
+    )
+    logits = apply_linear(params["output_projection"], x)  # (N, V)
+    return logits, new_state, cross_w
