@@ -33,9 +33,10 @@ MAX_LEN = 20
 RUNS = 3
 
 
-def build(dtype, attention="bahdanau"):
+def build(dtype, attention="bahdanau", architecture="lstm"):
     config = Config()
     config.model.attention_type = attention
+    config.model.architecture = architecture
     params = captioner.init_model(jax.random.PRNGKey(0), config, 10000)
     bias = params["decoder"]["output_projection"]["bias"]
     params["decoder"]["output_projection"]["bias"] = bias.at[2].set(-1e9)

@@ -34,6 +34,10 @@ def main() -> None:
     parser.add_argument("--runs", type=int, default=3)
     parser.add_argument("--no-remat-attention", action="store_true")
     parser.add_argument("--no-pallas-lstm-train", action="store_true")
+    parser.add_argument("--architecture", default="lstm",
+                        choices=["lstm", "transformer"],
+                        help="Model family (transformer: parallel teacher "
+                        "forcing, no sequential scan)")
     parser.add_argument("--json", default=None)
     args = parser.parse_args()
 
@@ -48,6 +52,7 @@ def main() -> None:
     from video_captioning_tpu.training.losses import label_smoothed_cross_entropy
 
     config = Config()
+    config.model.architecture = args.architecture
     config.training.compute_dtype = args.dtype
     if args.no_remat_attention:
         # getattr-guarded so the harness also runs on pre-flag checkouts
@@ -126,6 +131,7 @@ def main() -> None:
     clips_s = B * args.iters / best
     result = {
         "metric": "train_step_compute_only",
+        "architecture": args.architecture,
         "batch": B,
         "dtype": args.dtype,
         "remat_attention": getattr(config.training, "remat_attention", None),

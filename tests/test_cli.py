@@ -115,6 +115,36 @@ def test_train_then_predict_cli(dataset_csv, tiny_config_file, tmp_path, capsys)
 
 
 @pytest.mark.slow
+def test_train_cli_transformer_architecture(dataset_csv, tiny_config_file, tmp_path, capsys):
+    """--architecture transformer trains the second model family through the
+    same CLI and the packaged model round-trips through predict."""
+    from video_captioning_tpu.cli import predict as predict_cli
+    from video_captioning_tpu.cli import train as train_cli
+
+    ckpt_dir = tmp_path / "ckpts_tr"
+    train_cli.main([
+        "--config", str(tiny_config_file),
+        "--data-file", str(dataset_csv),
+        "--checkpoint-dir", str(ckpt_dir),
+        "--architecture", "transformer",
+        "--epochs", "2",
+        "--no-tensorboard",
+    ])
+    cfg = json.loads((ckpt_dir / "model_config.json").read_text())
+    assert cfg["model"]["architecture"] == "transformer"
+
+    feats_path = pd.read_csv(dataset_csv).iloc[0]["feature_path"]
+    predict_cli.main([
+        "--model-path", str(ckpt_dir / "model_for_inference.pth"),
+        "--method", "greedy", "--max-length", "8",
+        "single",
+        "--video-path", "ignored.mp4",
+        "--features-path", feats_path,
+    ])
+    assert "Generated Caption:" in capsys.readouterr().out
+
+
+@pytest.mark.slow
 def test_preprocess_cli_with_synthetic_video(tmp_path, capsys):
     cv2 = pytest.importorskip("cv2")
     from video_captioning_tpu.cli import preprocess as preprocess_cli

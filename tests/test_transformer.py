@@ -239,6 +239,44 @@ def test_beam_batch_items_independent(tr_config):
         np.testing.assert_array_equal(np.asarray(full[i]), np.asarray(solo[0]))
 
 
+def test_beam_fused_vocab_topk_path_transformer(tr_config):
+    """The fused vocab-projection+top-k Pallas path (taken on TPU) must be
+    token-identical to the XLA path for the transformer family too — its
+    pre-vocab hidden feeds the same kernel via family.step_beam_core."""
+    import unittest.mock as mock
+
+    import video_captioning_tpu.generation.beam as beam_mod
+    from video_captioning_tpu.ops import vocab_topk_pallas as vtp
+
+    cfg = tr_config
+    params, _, enc_outs, final, mask = _setup(cfg, B=3, key=9)
+    ref = beam_mod.beam_search_generate(
+        params, cfg, enc_outs, final, START, END, 8, mask, beam_size=4
+    )
+
+    cfg.kernels.use_fused_vocab_topk = True
+    orig = vtp.vocab_topk_lse
+    try:
+        with mock.patch.object(jax, "default_backend", return_value="tpu"), \
+             mock.patch.object(
+                 vtp, "vocab_topk_lse",
+                 lambda *a, **kw: orig(*a, **{**kw, "interpret": True}),
+             ):
+            got = beam_mod.beam_search_generate(
+                params, cfg, enc_outs, final, START, END, 8, mask, beam_size=4
+            )
+    finally:
+        cfg.kernels.use_fused_vocab_topk = False
+
+    np.testing.assert_array_equal(
+        np.asarray(got["generated_tokens"]), np.asarray(ref["generated_tokens"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["all_scores"]), np.asarray(ref["all_scores"]),
+        rtol=5e-2, atol=5e-2,
+    )
+
+
 def test_sampling_logprobs_match_teacher_forcing(tr_config):
     """sample_generate's accumulated logprob must equal the teacher-forced
     log-prob of the sequence it sampled (temperature 1, no top-k)."""

@@ -33,6 +33,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--no-tensorboard", action="store_true", help="Disable TensorBoard logging")
     parser.add_argument("--attention-type", type=str, choices=["bahdanau", "luong", "multihead"],
                         help="Attention mechanism override")
+    parser.add_argument("--architecture", type=str, choices=["lstm", "transformer"],
+                        help="Model family override (default lstm; transformer "
+                        "is the TPU-first parallel-teacher-forcing family)")
     parser.add_argument("--compute-dtype", type=str, choices=["float32", "bfloat16"],
                         help="Device compute dtype")
     parser.add_argument("--seed", type=int, help="Random seed override")
@@ -76,6 +79,8 @@ def main(argv=None) -> None:
         config.experiment.use_tensorboard = False
     if args.attention_type:
         config.model.attention_type = args.attention_type
+    if args.architecture:
+        config.model.architecture = args.architecture
     if args.compute_dtype:
         config.training.compute_dtype = args.compute_dtype
     if args.seed is not None:
