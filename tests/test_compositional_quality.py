@@ -29,8 +29,11 @@ from video_captioning_tpu.utils.metrics import CaptionMetrics  # noqa: E402
 
 
 @pytest.mark.slow
-def test_heldout_compositions_generalize(tmp_path, tiny_config):
+@pytest.mark.parametrize("architecture", ["lstm", "transformer"])
+def test_heldout_compositions_generalize(tmp_path, tiny_config, architecture):
     cfg = tiny_config
+    cfg.model.architecture = architecture
+    cfg.model.transformer_num_heads = 4
     cfg.model.cnn_feature_dim = 32
     cfg.model.encoder_hidden_dim = 32
     cfg.model.decoder_hidden_dim = 32

@@ -238,6 +238,69 @@ def test_context_parallel_generation_matches_unsharded(tiny_config, kind):
     )
 
 
+def test_context_parallel_generation_matches_unsharded_transformer(tiny_config):
+    """END-TO-END context parallelism for the transformer family: with
+    config.parallel.context_axis set and an ambient 8-way mesh, the decode
+    loop's cross-attention runs frame-sharded (models/transformer.py
+    _cross_attn_step_cp: online-softmax combine across shards) and produces
+    tokens identical to the unsharded run."""
+    from video_captioning_tpu import generation
+    from video_captioning_tpu.models import init_model
+
+    cfg = tiny_config
+    cfg.model.architecture = "transformer"
+    cfg.model.transformer_num_heads = 4
+    cfg.model.video_sequence_length = 16  # divisible by the 8-way axis
+    cfg.data.frames_per_video = 16
+    cfg.validate()
+
+    params = init_model(jax.random.PRNGKey(0), cfg, 23)
+    feats = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(1), (4, 16, cfg.model.cnn_feature_dim))
+    )
+    mask = np.ones((4, 16), np.float32)
+    mask[2, 10:] = 0  # ragged tail crosses shard boundaries
+
+    ref_g = generation.generate(params, cfg, feats, 1, 2, video_mask=mask,
+                                method="greedy")
+    ref_b = generation.generate(params, cfg, feats, 1, 2, video_mask=mask,
+                                method="beam", beam_size=4)
+
+    cfg.parallel.data_axis = 1
+    cfg.parallel.model_axis = 8
+    cfg.parallel.context_axis = "model"
+    cfg.validate()
+    mesh = make_mesh(cfg)
+    try:
+        with jax.sharding.set_mesh(mesh):
+            cp_g = jax.jit(
+                lambda p, f, m: generation.generate(p, cfg, f, 1, 2, video_mask=m,
+                                                    method="greedy")
+            )(params, feats, mask)
+            cp_b = jax.jit(
+                lambda p, f, m: generation.generate(p, cfg, f, 1, 2, video_mask=m,
+                                                    method="beam", beam_size=4)
+            )(params, feats, mask)
+    finally:
+        cfg.parallel.context_axis = None
+        cfg.parallel.model_axis = 1
+
+    np.testing.assert_array_equal(
+        np.asarray(cp_g["generated_tokens"]), np.asarray(ref_g["generated_tokens"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(cp_g["attention_weights"]),
+        np.asarray(ref_g["attention_weights"]), rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(cp_b["generated_tokens"]), np.asarray(ref_b["generated_tokens"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(cp_b["all_scores"]), np.asarray(ref_b["all_scores"]),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
 # --- multi-chip SERVING (round 3: data-sharded batched captioning) --------
 
 
@@ -257,14 +320,19 @@ def _make_package(tmp_path, cfg):
 
 
 @pytest.mark.parametrize("method", ["greedy", "beam"])
+@pytest.mark.parametrize("architecture", ["lstm", "transformer"])
 def test_predictor_mesh_serving_matches_single_device(
-    tiny_config, tmp_path, method
+    tiny_config, tmp_path, method, architecture
 ):
     """8-device data-sharded predictor == single-device predictor, token
-    for token, through the public predict_batch API (VERDICT r2 item 2)."""
+    for token, through the public predict_batch API (VERDICT r2 item 2) —
+    for BOTH model families."""
     from jax.sharding import Mesh
     from video_captioning_tpu.inference import VideoCaptionPredictor
 
+    tiny_config.model.architecture = architecture
+    tiny_config.model.transformer_num_heads = 4
+    tiny_config.validate()
     pkg = _make_package(tmp_path, tiny_config)
     rs = np.random.RandomState(3)
     # Ragged batch (5 clips) exercises bucket-to-multiple-of-mesh padding.

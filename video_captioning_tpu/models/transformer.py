@@ -413,6 +413,55 @@ def _cross_attn_step(
     return out, jnp.mean(w, axis=2).reshape(B * K, S).astype(x.dtype)
 
 
+def _cross_attn_step_cp(
+    p: dict,
+    x: Array,              # (N, D) pre-LN'd query activations, replicated
+    ck: Array,             # (B, S, D) keys, frame axis sharded over `axis`
+    cv: Array,             # (B, S, D) values, sharded like ck
+    encoder_mask: Optional[Array],  # (B, S), sharded like ck
+    heads: int,
+    axis: str,
+) -> Tuple[Array, Array]:
+    """Context-parallel one-query cross-attention: the frame axis S is
+    sharded over mesh axis ``axis``; softmax statistics combine across
+    shards with pmax/psum (the same online-softmax decomposition as
+    parallel/context_parallel.attend_cp). Numerically equivalent to
+    :func:`_cross_attn_step`; communication per step is O(B·K·h) scalars
+    plus the (N, D) context psum. Uses the ambient mesh
+    (``jax.sharding.set_mesh``), matching the LSTM family's CP routing."""
+    from jax.sharding import PartitionSpec as P
+
+    B, S, D = ck.shape
+    K = x.shape[0] // B
+    dh = D // heads
+
+    def local(ck_l, cv_l, x, mask_l):
+        q = apply_linear(p["wq"], x).reshape(B, K, heads, dh)
+        kh = ck_l.reshape(B, -1, heads, dh)
+        vh = cv_l.reshape(B, -1, heads, dh)
+        scores = jnp.einsum("bkhd,bshd->bkhs", q, kh).astype(jnp.float32)
+        scores = scores / math.sqrt(dh)
+        scores = jnp.where(mask_l[:, None, None, :] > 0, scores, NEG_INF)
+        m_local = jnp.max(scores, axis=-1)
+        m_global = jax.lax.pmax(m_local, axis)
+        exp = jnp.exp(scores - m_global[..., None])
+        denom = jax.lax.psum(jnp.sum(exp, axis=-1), axis)
+        w = exp / denom[..., None]  # (B, K, h, S_l)
+        ctx = jnp.einsum("bkhs,bshd->bkhd", w.astype(vh.dtype), vh)
+        ctx = jax.lax.psum(ctx.reshape(B * K, D), axis)
+        return ctx, jnp.mean(w, axis=2).reshape(B * K, -1).astype(x.dtype)
+
+    if encoder_mask is None:
+        encoder_mask = jnp.ones((B, S), x.dtype)
+    sharded = jax.shard_map(
+        local,
+        in_specs=(P(None, axis, None), P(None, axis, None), P(), P(None, axis)),
+        out_specs=(P(), P(None, axis)),
+    )
+    ctx, w = sharded(ck, cv, x, encoder_mask)
+    return apply_linear(p["wo"], ctx), w
+
+
 def decode_step_core(
     params: dict,
     config: Config,
@@ -435,6 +484,7 @@ def decode_step_core(
     """
     m = config.model
     heads = m.transformer_num_heads
+    cp_axis = config.parallel.context_axis
     dtype = state["k"].dtype
 
     emb = jnp.take(params["embedding"]["table"], token_ids, axis=0)
@@ -450,10 +500,17 @@ def decode_step_core(
         new_k.append(k_c)
         new_v.append(v_c)
         x = x + h
-        h, cross_w = _cross_attn_step(
-            blk["cross_attn"], _apply_layer_norm(blk["ln2"], x),
-            cross_kv["k"][i], cross_kv["v"][i], encoder_mask, heads,
-        )
+        if cp_axis is not None:
+            h, cross_w = _cross_attn_step_cp(
+                blk["cross_attn"], _apply_layer_norm(blk["ln2"], x),
+                cross_kv["k"][i], cross_kv["v"][i], encoder_mask, heads,
+                cp_axis,
+            )
+        else:
+            h, cross_w = _cross_attn_step(
+                blk["cross_attn"], _apply_layer_norm(blk["ln2"], x),
+                cross_kv["k"][i], cross_kv["v"][i], encoder_mask, heads,
+            )
         x = x + h
         x = x + _mlp(blk["mlp"], _apply_layer_norm(blk["ln3"], x))
 
