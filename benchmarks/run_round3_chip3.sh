@@ -18,7 +18,8 @@ run() {
   local name="$1"; shift
   echo "=== [$name] $(date +%H:%M:%S) $*" | tee -a "$LOG"
   timeout 3000 "$@" 2>&1 | tee -a "$LOG"
-  echo "=== [$name] exit=$? $(date +%H:%M:%S)" | tee -a "$LOG"
+  local rc=${PIPESTATUS[0]}
+  echo "=== [$name] exit=$rc $(date +%H:%M:%S)" | tee -a "$LOG"
   sleep 30  # let the chip claim expire between processes
 }
 

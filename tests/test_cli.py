@@ -121,9 +121,17 @@ def test_train_cli_transformer_architecture(dataset_csv, tiny_config_file, tmp_p
     from video_captioning_tpu.cli import predict as predict_cli
     from video_captioning_tpu.cli import train as train_cli
 
+    # The transformer family ties embedding_dim to d_model (validate()
+    # rejects the LSTM fixture's 12 vs 16) — write an adjusted config.
+    cfg = json.loads(tiny_config_file.read_text())
+    cfg["model"]["embedding_dim"] = cfg["model"]["decoder_hidden_dim"]
+    cfg["model"]["transformer_num_heads"] = 4
+    tr_config_file = tmp_path / "config_tr.json"
+    tr_config_file.write_text(json.dumps(cfg))
+
     ckpt_dir = tmp_path / "ckpts_tr"
     train_cli.main([
-        "--config", str(tiny_config_file),
+        "--config", str(tr_config_file),
         "--data-file", str(dataset_csv),
         "--checkpoint-dir", str(ckpt_dir),
         "--architecture", "transformer",

@@ -37,7 +37,7 @@ def test_heldout_compositions_generalize(tmp_path, tiny_config, architecture):
     cfg.model.cnn_feature_dim = 32
     cfg.model.encoder_hidden_dim = 32
     cfg.model.decoder_hidden_dim = 32
-    cfg.model.embedding_dim = 24
+    cfg.model.embedding_dim = 32 if architecture == "transformer" else 24
     cfg.model.attention_dim = 32
     cfg.model.video_sequence_length = 12
     cfg.data.frames_per_video = 12

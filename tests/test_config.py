@@ -44,6 +44,31 @@ def test_attention_type_validation():
         cfg.validate()
 
 
+def test_transformer_embedding_dim_must_equal_d_model():
+    """The transformer family ties the token-embedding width to d_model
+    (models/transformer.py builds the table (V, decoder_hidden_dim));
+    a divergent embedding_dim must be rejected loudly, not ignored."""
+    cfg = Config()
+    cfg.model.architecture = "transformer"
+    cfg.validate()  # defaults: 512 == 512
+    cfg.model.embedding_dim = 256
+    with pytest.raises(ValueError, match="embedding_dim"):
+        cfg.validate()
+
+
+def test_transformer_frames_must_fit_position_table():
+    """frames_per_video > video_sequence_length crashes the transformer
+    encoder's learned-position add at the first step; validate() must
+    reject the combination up front (the LSTM family accepts any length)."""
+    cfg = Config()
+    cfg.data.frames_per_video = 100
+    cfg.model.video_sequence_length = 80
+    cfg.validate()  # fine for the LSTM family
+    cfg.model.architecture = "transformer"
+    with pytest.raises(ValueError, match="frames_per_video"):
+        cfg.validate()
+
+
 def test_resnet50_variant_validation():
     cfg = Config()
     # Every FeatureExtractor-accepted variant must pass config validation

@@ -249,6 +249,7 @@ def test_context_parallel_generation_matches_unsharded_transformer(tiny_config):
 
     cfg = tiny_config
     cfg.model.architecture = "transformer"
+    cfg.model.embedding_dim = cfg.model.decoder_hidden_dim  # tied to d_model
     cfg.model.transformer_num_heads = 4
     cfg.model.video_sequence_length = 16  # divisible by the 8-way axis
     cfg.data.frames_per_video = 16
@@ -332,6 +333,8 @@ def test_predictor_mesh_serving_matches_single_device(
 
     tiny_config.model.architecture = architecture
     tiny_config.model.transformer_num_heads = 4
+    if architecture == "transformer":
+        tiny_config.model.embedding_dim = tiny_config.model.decoder_hidden_dim
     tiny_config.validate()
     pkg = _make_package(tmp_path, tiny_config)
     rs = np.random.RandomState(3)

@@ -33,6 +33,7 @@ VOCAB = 32
 def tr_config(tiny_config):
     cfg = tiny_config
     cfg.model.architecture = "transformer"
+    cfg.model.embedding_dim = cfg.model.decoder_hidden_dim  # tied to d_model
     cfg.model.transformer_num_layers = 2
     cfg.model.transformer_decoder_layers = 2
     cfg.model.transformer_num_heads = 4

@@ -58,6 +58,10 @@ class ModelConfig:
     # "transformer": TPU-first pre-LN encoder-decoder transformer
     # (models/transformer.py): teacher forcing is ONE fully parallel pass
     # (no sequential scan), decode runs on-device with per-layer KV caches.
+    # The transformer family reads ONLY the transformer_* knobs below plus
+    # the shared dims; the LSTM-only knobs (use_attention, attention_type,
+    # luong_score, attention_dim, attention_num_heads, encoder_num_layers,
+    # decoder_num_layers, *_dropout) have no effect on it.
     architecture: str = "lstm"
     transformer_num_layers: int = 2        # encoder self-attention blocks
     transformer_decoder_layers: int = 2    # decoder blocks
@@ -304,6 +308,20 @@ class Config:
             if self.model.decoder_hidden_dim % self.model.transformer_num_heads != 0:
                 raise ValueError(
                     "decoder_hidden_dim must be divisible by transformer_num_heads"
+                )
+            if self.model.embedding_dim != self.model.decoder_hidden_dim:
+                raise ValueError(
+                    "transformer architecture ties the token embedding width to "
+                    "d_model: embedding_dim must equal decoder_hidden_dim "
+                    f"(got {self.model.embedding_dim} vs "
+                    f"{self.model.decoder_hidden_dim})"
+                )
+            if self.data.frames_per_video > self.model.video_sequence_length:
+                raise ValueError(
+                    "transformer architecture's learned frame positions cover "
+                    "video_sequence_length rows; data.frames_per_video="
+                    f"{self.data.frames_per_video} exceeds model."
+                    f"video_sequence_length={self.model.video_sequence_length}"
                 )
         if (
             self.parallel.context_axis is not None

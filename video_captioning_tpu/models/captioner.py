@@ -5,6 +5,9 @@ training forward (encode → teacher-forced decode, with an all-ones encoder
 mask default, ref :58-62) and a ``generate`` dispatch to greedy / beam
 search. Generation itself lives in :mod:`video_captioning_tpu.generation`
 as fully on-device ``lax`` loops — no host round-trips per step.
+
+Family dispatch happens in exactly one place (:func:`_is_transformer`);
+the per-surface decode adapters live in generation/families.py.
 """
 
 from __future__ import annotations
@@ -17,14 +20,18 @@ import jax.numpy as jnp
 from ..config import Config
 from . import decoder as decoder_mod
 from . import encoder as encoder_mod
+from . import transformer as transformer_mod
 
 Array = jax.Array
 
 
-def init_model(key: Array, config: Config, vocabulary_size: int) -> dict:
-    if config.model.architecture == "transformer":
-        from . import transformer as transformer_mod
+def _is_transformer(config: Config) -> bool:
+    """Single source of truth for model-family dispatch."""
+    return config.model.architecture == "transformer"
 
+
+def init_model(key: Array, config: Config, vocabulary_size: int) -> dict:
+    if _is_transformer(config):
         return transformer_mod.init_transformer(key, config, vocabulary_size)
     k_enc, k_dec = jax.random.split(key)
     return {
@@ -43,18 +50,15 @@ def encode(
     rng: Optional[Array] = None,
 ) -> Tuple[Array, Array, Array]:
     """Encode features; returns (encoder_outputs, final_state, mask)."""
-    if config.model.architecture == "transformer":
-        from . import transformer as transformer_mod
-
-        enc_outs, final = transformer_mod.apply_transformer_encoder(
-            params["encoder"], config, video_features, video_mask,
-            train=train, rng=rng,
-        )
-    else:
-        enc_outs, final = encoder_mod.apply_encoder(
-            params["encoder"], config, video_features, video_mask,
-            train=train, rng=rng,
-        )
+    apply_encoder = (
+        transformer_mod.apply_transformer_encoder
+        if _is_transformer(config)
+        else encoder_mod.apply_encoder
+    )
+    enc_outs, final = apply_encoder(
+        params["encoder"], config, video_features, video_mask,
+        train=train, rng=rng,
+    )
     if video_mask is None:
         video_mask = jnp.ones(video_features.shape[:2], enc_outs.dtype)
     return enc_outs, final, video_mask
@@ -82,9 +86,7 @@ def apply_model(
     enc_outs, final, mask = encode(
         params, config, video_features, video_mask, train=train, rng=r_enc
     )
-    if config.model.architecture == "transformer":
-        from . import transformer as transformer_mod
-
+    if _is_transformer(config):
         dec_out = transformer_mod.apply_transformer_decoder(
             params["decoder"], config, enc_outs, input_tokens,
             None if video_mask is None else mask, train=train, rng=r_dec,

@@ -42,6 +42,7 @@ LSTM family.
 
 from __future__ import annotations
 
+import logging
 import math
 from typing import Dict, Optional, Tuple
 
@@ -235,6 +236,13 @@ def apply_transformer_encoder(
     rngs = jax.random.split(rng, 1 + 2 * len(params["blocks"])) \
         if rng is not None else [None] * (1 + 2 * len(params["blocks"]))
 
+    if S > params["pos_embedding"].shape[0]:
+        raise ValueError(
+            f"transformer encoder got {S} frames but its learned position "
+            f"table covers {params['pos_embedding'].shape[0]} "
+            "(model.video_sequence_length at init); resample the video or "
+            "re-init with a larger video_sequence_length"
+        )
     x = apply_linear(params["feature_projection"], video_features)  # (B, S, D)
     x = x + params["pos_embedding"][None, :S, :].astype(x.dtype)
     x = dropout(x, p_drop, rngs[0], train)
@@ -342,11 +350,21 @@ def init_decode_state(
 
     ``max_positions`` sizes the caches for a caller-requested decode length
     beyond the config default (positions past the learned-position table
-    reuse its last row — dynamic_slice clamps the index)."""
+    reuse its last row — dynamic_slice clamps the index — which degrades
+    long tails; a warning is logged, the LSTM family stays exact there)."""
     n_blocks = len(params["blocks"])
     T = config.model.max_sequence_length + 1
     if max_positions is not None:
         T = max(T, max_positions)
+    pos_rows = params["pos_embedding"].shape[0]
+    if T > pos_rows:
+        logging.getLogger(__name__).warning(
+            "decoding %d positions but the learned position table has %d "
+            "rows; positions >= %d reuse the last row (repetitive long "
+            "tails likely — re-init with a larger max_sequence_length, or "
+            "use the lstm family which decodes any length exactly)",
+            T, pos_rows, pos_rows,
+        )
     D = config.model.decoder_hidden_dim
     return {
         "k": jnp.zeros((n_blocks, batch, T, D), dtype),
