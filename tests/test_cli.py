@@ -327,3 +327,33 @@ def test_preprocess_cli_int8_variant(tmp_path):
     feats = np.load(out_dir / "toy.npy")
     assert feats.shape == (4, 2048)
     assert np.isfinite(feats).all() and np.abs(feats).sum() > 0
+
+
+def test_create_dataset_csv_literal_stem_matching(tmp_path):
+    """Feature stems with regex metacharacters ('clip(1)') must match
+    captions literally — str.contains with regex=True used to raise
+    re.error and kill the run after feature extraction."""
+    import numpy as np
+
+    from video_captioning_tpu.cli.preprocess import create_dataset_csv
+
+    video_dir = tmp_path / "videos"
+    feat_dir = tmp_path / "feats"
+    video_dir.mkdir()
+    feat_dir.mkdir()
+    for stem in ["clip(1)", "vid.1"]:
+        (video_dir / f"{stem}.mp4").write_bytes(b"x")
+        np.save(feat_dir / f"{stem}.npy", np.zeros((4, 8), np.float32))
+    captions = tmp_path / "caps.csv"
+    pd.DataFrame([
+        # Substring rows (no exact match) force the contains() branch.
+        {"video_id": "prefix_clip(1)_suffix", "caption": "a paren clip"},
+        {"video_id": "vidX1", "caption": "should NOT match vid.1"},
+        {"video_id": "xx_vid.1_yy", "caption": "a dotted clip"},
+    ]).to_csv(captions, index=False)
+    out = tmp_path / "dataset.csv"
+    create_dataset_csv(video_dir, feat_dir, captions, out)
+    df = pd.read_csv(out).set_index("video_id")
+    assert df.loc["clip(1)", "caption"] == "a paren clip"
+    # '.' must be literal: 'vidX1' would match under regex semantics.
+    assert df.loc["vid.1", "caption"] == "a dotted clip"

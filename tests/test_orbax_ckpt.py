@@ -225,3 +225,66 @@ def test_orbax_resume_rejects_changed_optimizer(tmp_path, tiny_config):
     )
     trainer3.load_orbax_checkpoint()
     assert trainer3.current_epoch == 1
+
+
+@pytest.mark.slow
+def test_orbax_best_snapshot_survives_later_training(tmp_path, tiny_config):
+    """Under the orbax backend (no best_model.pth), _save(is_best=True)
+    keeps a HOST snapshot of the best-epoch eval params so the post-train
+    export packages the weights that earned best_val_score — not the
+    final-epoch params (cli/train.py best-export contract)."""
+    import pandas as pd
+
+    from video_captioning_tpu.data.pipeline import create_data_loaders
+    from video_captioning_tpu.data.vocabulary import Vocabulary
+    from video_captioning_tpu.parallel import make_mesh
+    from video_captioning_tpu.training import VideoCaptioningTrainer
+
+    cfg = tiny_config
+    cfg.data.vocab_threshold = 1
+    cfg.training.batch_size = 4
+    cfg.experiment.checkpoint_dir = tmp_path / "ck"
+    cfg.experiment.checkpoint_backend = "orbax"
+    cfg.experiment.use_tensorboard = False
+    cfg.validate()
+
+    rs = np.random.RandomState(0)
+    captions = ["a man runs", "a dog barks", "a cat sleeps", "a bird flies"]
+    rows = []
+    for i in range(8):
+        p = tmp_path / f"v{i}.npy"
+        np.save(p, rs.randn(10, cfg.model.cnn_feature_dim).astype(np.float32))
+        rows.append({"video_id": f"v{i}", "video_path": "",
+                     "feature_path": str(p), "caption": captions[i % 4]})
+    df = pd.DataFrame(rows)
+    vocab = Vocabulary(cfg)
+    vocab.build_vocabulary(captions)
+    tr, va, _ = create_data_loaders(cfg, vocab, df.iloc[:4], df.iloc[4:])
+
+    mesh = make_mesh(cfg, jax.devices()[:4])
+    params = init_model(jax.random.PRNGKey(0), cfg, len(vocab))
+    trainer = VideoCaptioningTrainer(params, cfg, vocab, tr, va, mesh=mesh)
+    assert trainer.best_eval_params is None
+
+    trainer._save(epoch=0, metrics={"bleu_4": 0.5}, is_best=True)
+    best_at_save = [np.array(x) for x in
+                    jax.tree_util.tree_leaves(trainer.best_eval_params)]
+
+    trainer.train_epoch()  # params move on after the best epoch
+    moved = any(
+        not np.array_equal(a, np.asarray(b))
+        for a, b in zip(best_at_save,
+                        jax.tree_util.tree_leaves(trainer.eval_params))
+    )
+    assert moved, "training did not change params; test is vacuous"
+    # The snapshot must still hold the best-epoch values.
+    for a, b in zip(best_at_save,
+                    jax.tree_util.tree_leaves(trainer.best_eval_params)):
+        np.testing.assert_array_equal(a, np.asarray(b))
+    # Non-best saves must not overwrite it.
+    trainer._save(epoch=1, metrics={"bleu_4": 0.1}, is_best=False)
+    for a, b in zip(best_at_save,
+                    jax.tree_util.tree_leaves(trainer.best_eval_params)):
+        np.testing.assert_array_equal(a, np.asarray(b))
+    trainer.orbax_manager.wait()
+    trainer.orbax_manager.close()

@@ -169,3 +169,53 @@ def test_prefetch_to_device_order_and_completeness(corpus):
     seen = [list(b["video_id"]) for b in prefetch_to_device(iter(loader), place)]
     assert seen == placed
     assert [v for b in seen for v in b] == [f"vid{i}" for i in range(8)]
+
+
+def test_loader_early_exit_joins_producer(corpus):
+    """Abandoning iteration (break mid-epoch) must not leak the producer
+    thread: __iter__'s finally signals stop, drains the bounded queue, and
+    joins — a plain blocking put would pin the thread + prefetch batches."""
+    import threading
+    import time
+
+    df, vocab, cfg = corpus
+    ds = VideoCaptioningDataset(df, vocab, cfg)
+    loader = DataLoader(ds, batch_size=2, shuffle=False, prefetch=1)
+    before = threading.active_count()
+    for _ in range(3):  # repeated early exits must not accumulate threads
+        for batch in loader:
+            break  # generator finalized on loop exit -> finally joins
+    time.sleep(0.2)
+    assert threading.active_count() <= before
+
+
+def test_get_batch_fallback_uses_caller_pool(corpus, monkeypatch):
+    """With the native loader unavailable, the per-item fallback must run
+    on the DataLoader's worker pool (it was serial dead code before)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from video_captioning_tpu.data import pipeline as pl
+
+    df, vocab, cfg = corpus
+    ds = VideoCaptioningDataset(df, vocab, cfg)
+    monkeypatch.setattr(
+        "video_captioning_tpu.native.load_features_batch",
+        lambda *a, **k: None,
+    )
+    used = {"map": 0}
+
+    class SpyPool(ThreadPoolExecutor):
+        def map(self, *a, **k):
+            used["map"] += 1
+            return super().map(*a, **k)
+
+    with SpyPool(2) as pool:
+        batch = ds.get_batch([0, 1, 2], pool=pool)
+    assert used["map"] == 1
+    assert batch["video_features"].shape[0] == 3
+    # And the full loader path produces identical batches with/without it.
+    ref = ds.get_batch([0, 1, 2])
+    np.testing.assert_array_equal(
+        batch["video_features"], ref["video_features"]
+    )
+    np.testing.assert_array_equal(batch["input_tokens"], ref["input_tokens"])

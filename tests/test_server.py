@@ -137,3 +137,65 @@ def test_bad_requests_get_4xx(served):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(server.port, "/nope", {})
     assert e.value.code == 404
+
+
+def test_dim_mismatch_rejected_without_poisoning_batchmates(served):
+    """A wrong feature_dim must 400 at parse time — before batching — so a
+    concurrently-submitted valid request still succeeds (a shape mismatch
+    inside predict_batch would fail the whole coalesced batch)."""
+    server, _ = served
+    rs = np.random.RandomState(4)
+    good = {"features": rs.randn(6, 24).astype(np.float32).tolist(),
+            "method": "greedy", "max_length": 6}
+    bad = {"features": rs.randn(6, 16).astype(np.float32).tolist(),
+           "method": "greedy", "max_length": 6}
+    outcome = {}
+
+    def call(name, payload):
+        try:
+            outcome[name] = _post(server.port, "/caption", payload)
+        except urllib.error.HTTPError as e:
+            outcome[name] = e.code
+
+    threads = [threading.Thread(target=call, args=("good", good)),
+               threading.Thread(target=call, args=("bad", bad))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert outcome["bad"] == 400
+    assert isinstance(outcome["good"], dict) and "caption" in outcome["good"]
+
+
+def test_malformed_batch_items_get_400_not_dropped_connection(served):
+    server, _ = served
+    # Missing 'features' key in one item.
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server.port, "/caption_batch",
+              {"items": [{"feats": [[1.0]]}], "method": "greedy"})
+    assert e.value.code == 400
+    assert "items[0]" in json.loads(e.value.read())["error"]
+    # Non-numeric features payload.
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server.port, "/caption", {"features": {"a": 1}})
+    assert e.value.code == 400
+    # Ragged rows.
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server.port, "/caption", {"features": [[1.0, 2.0], [1.0]]})
+    assert e.value.code == 400
+
+
+def test_predictor_fault_maps_to_500(served, monkeypatch):
+    """Device/predictor failures are server faults (500), not client 400s."""
+    server, predictor = served
+    rs = np.random.RandomState(5)
+
+    def boom(*a, **k):
+        raise RuntimeError("RESOURCE_EXHAUSTED: synthetic device failure")
+
+    monkeypatch.setattr(server.batcher.predictor, "predict_batch", boom)
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(server.port, "/caption",
+              {"features": rs.randn(6, 24).astype(np.float32).tolist()})
+    assert e.value.code == 500
+    assert "RESOURCE_EXHAUSTED" in json.loads(e.value.read())["error"]

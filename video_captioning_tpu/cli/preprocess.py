@@ -180,8 +180,13 @@ def create_dataset_csv(
                 if not exact.empty:
                     entry["caption"] = exact.iloc[0]["caption"]
                 else:
+                    # regex=False: stems like "clip(1)" or "vid.1" must
+                    # match literally, not as patterns (re.error / false
+                    # positives otherwise).
                     partial = captions_df[
-                        captions_df["video_id"].str.contains(vid, na=False)
+                        captions_df["video_id"].str.contains(
+                            vid, na=False, regex=False
+                        )
                     ]
                     if not partial.empty:
                         entry["caption"] = partial.iloc[0]["caption"]

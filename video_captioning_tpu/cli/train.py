@@ -167,6 +167,11 @@ def main(argv=None) -> None:
             logger.info(
                 f"Packaging best-epoch weights (epoch {best.get('epoch')})"
             )
+        elif trainer.best_eval_params is not None:
+            # Orbax backend: no best_model.pth exists; the trainer kept a
+            # host snapshot of the best-validation-epoch eval params.
+            export_params = trainer.best_eval_params
+            logger.info("Packaging best-epoch weights (orbax snapshot)")
         else:
             # No validation ran / no best checkpoint: fall back to the
             # trainer's current eval params (EMA shadow if enabled).
@@ -177,6 +182,10 @@ def main(argv=None) -> None:
     except KeyboardInterrupt:
         logger.info("Training interrupted by user")
         trainer._save(trainer.current_epoch, {}, is_best=False)
+        if trainer.orbax_manager is not None:
+            # The orbax save is async — block until it is durable before
+            # the interpreter tears down mid-write.
+            trainer.orbax_manager.wait()
         logger.info("Saved current training state")
 
 

@@ -82,12 +82,13 @@ class VideoCaptioningDataset:
     def __len__(self) -> int:
         return len(self.data_df)
 
-    def get_batch(self, indices) -> Dict[str, np.ndarray]:
+    def get_batch(self, indices, pool=None) -> Dict[str, np.ndarray]:
         """Assemble a whole batch. Fast path: the native C++ loader reads,
         resamples, and packs every feature file of the batch into one
         (B, T, F) buffer with GIL-free parallel IO; token encoding (cheap)
-        stays in Python. Falls back to per-item loading when the native
-        library or a file layout is unsupported."""
+        stays in Python. Falls back to per-item loading (parallel over
+        ``pool`` when the caller provides one) when the native library or
+        a file layout is unsupported."""
         from ..native import load_features_batch
 
         rows = [self.data_df.iloc[int(i)] for i in indices]
@@ -97,7 +98,10 @@ class VideoCaptioningDataset:
             self.config.model.cnn_feature_dim,
         )
         if features is None:
-            return _collate([self[int(i)] for i in indices])
+            idx = [int(i) for i in indices]
+            items = list(pool.map(self.__getitem__, idx)) if pool is not None \
+                else [self[i] for i in idx]
+            return _collate(items)
 
         batch: Dict[str, object] = {"video_features": features}
         toks = [self._encode_tokens(r["caption"]) for r in rows]
@@ -210,34 +214,59 @@ class DataLoader:
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()  # set when the consumer abandons iteration
 
         use_native = hasattr(self.dataset, "get_batch")
 
+        def put(obj) -> bool:
+            """Bounded put that gives up once the consumer is gone (a plain
+            blocking put would pin the producer thread and prefetch+1 full
+            batches forever after an early `break`)."""
+            while not stop.is_set():
+                try:
+                    out_q.put(obj, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
             try:
-                if use_native:
+                with ThreadPoolExecutor(self.num_workers) as pool:
                     for batch_idx in self._batches():
-                        out_q.put(self.dataset.get_batch(batch_idx))
-                else:
-                    with ThreadPoolExecutor(self.num_workers) as pool:
-                        for batch_idx in self._batches():
-                            items = list(pool.map(self.dataset.__getitem__, batch_idx))
-                            out_q.put(_collate(items))
+                        if stop.is_set():
+                            return
+                        if use_native:
+                            batch = self.dataset.get_batch(batch_idx, pool=pool)
+                        else:
+                            batch = _collate(
+                                list(pool.map(self.dataset.__getitem__, batch_idx))
+                            )
+                        if not put(batch):
+                            return
             except Exception as e:  # surface loader errors to the consumer
-                out_q.put(e)
+                put(e)
             finally:
-                out_q.put(sentinel)
+                put(sentinel)
 
         thread = threading.Thread(target=produce, daemon=True)
         thread.start()
-        while True:
-            item = out_q.get()
-            if item is sentinel:
-                break
-            if isinstance(item, Exception):
-                raise item
-            yield item
-        thread.join()
+        try:
+            while True:
+                item = out_q.get()
+                if item is sentinel:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            try:  # unblock a producer stuck on a full queue
+                while True:
+                    out_q.get_nowait()
+            except queue.Empty:
+                pass
+            thread.join(timeout=5)
 
 
 def prefetch_to_device(iterator, place_fn, lookahead: int = 1):

@@ -62,6 +62,21 @@ def extract_frames(
         raise ValueError(f"Cannot open video: {video_path}")
 
     total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    if total <= 0:
+        # Streams / some AVIs / broken headers report 0 frames; counting
+        # with grab() (no frame copies) then reopening costs one cheap
+        # pass but keeps the clip decodable instead of silently blank.
+        while cap.grab():
+            total += 1
+        cap.release()
+        if total <= 0:
+            raise ValueError(f"No decodable frames in video: {video_path}")
+        logger.warning(
+            f"{video_path} reports no frame count; counted {total} frames"
+        )
+        cap = cv2.VideoCapture(str(video_path))
+        if not cap.isOpened():
+            raise ValueError(f"Cannot reopen video: {video_path}")
     wanted = set(uniform_frame_indices(total, num_frames).tolist())
 
     frames: List[np.ndarray] = []
@@ -105,6 +120,7 @@ def extract_frames_batch(
     resize: Optional[Tuple[int, int]] = None,
     pad_mode: str = "last",
     num_workers: int = 8,
+    on_error: str = "raise",
 ) -> List[np.ndarray]:
     """Decode many videos concurrently with a thread pool.
 
@@ -113,23 +129,31 @@ def extract_frames_batch(
     reference decodes strictly serially (preprocess.py:177-226); on a real
     host the north-star pipeline is decode-bound, so this is where wall
     clock goes. Order of results matches ``video_paths``.
+
+    on_error: "raise" aborts the whole batch on the first bad video;
+    "blank" substitutes black frames for that video (with a warning) so
+    one corrupt file can't discard its siblings' decode work mid-epoch.
     """
     from concurrent.futures import ThreadPoolExecutor
 
+    if on_error not in ("raise", "blank"):
+        raise ValueError(f"Unknown on_error: {on_error}")
+
+    def one(p):
+        try:
+            return extract_frames(p, num_frames, resize=resize,
+                                  pad_mode=pad_mode)
+        except Exception as e:
+            if on_error == "raise":
+                raise
+            logger.warning(f"decode failed for {p}: {e}; using blank frames")
+            h, w = resize if resize is not None else (480, 640)
+            return np.zeros((num_frames, h, w, 3), dtype=np.uint8)
+
     if num_workers <= 1:
-        return [
-            extract_frames(p, num_frames, resize=resize, pad_mode=pad_mode)
-            for p in video_paths
-        ]
+        return [one(p) for p in video_paths]
     with ThreadPoolExecutor(max_workers=num_workers) as ex:
-        return list(
-            ex.map(
-                lambda p: extract_frames(
-                    p, num_frames, resize=resize, pad_mode=pad_mode
-                ),
-                video_paths,
-            )
-        )
+        return list(ex.map(one, video_paths))
 
 
 def pixel_stub_features(
@@ -200,6 +224,9 @@ class VideoFrameDataset:
                 resize=tuple(self.config.data.img_size),
                 pad_mode="zero",
                 num_workers=num_workers,
+                # One corrupt file must not abort the epoch: blank frames
+                # + warning, matching extract_frames' zero-frame fallback.
+                on_error="blank",
             )
             return [
                 {"frames": f, "video_path": str(p), "video_id": Path(p).stem}

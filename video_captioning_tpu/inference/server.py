@@ -44,6 +44,11 @@ _DEFAULTS = {"method": "greedy", "max_length": 20, "beam_size": 5,
              "length_penalty": 1.0, "temperature": 1.0}
 
 
+class ServerFault(RuntimeError):
+    """A server-side failure (device error, predictor bug) — mapped to
+    HTTP 500, unlike request-validation ValueErrors (400)."""
+
+
 @dataclass
 class _Pending:
     features: np.ndarray
@@ -134,6 +139,7 @@ class CaptionServer:
                  request_timeout_s: float = 120.0):
         self.batcher = DynamicBatcher(predictor, max_batch, max_wait_ms)
         self.request_timeout_s = request_timeout_s
+        self.feature_dim = int(predictor.config.model.cnn_feature_dim)
         server = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -172,6 +178,11 @@ class CaptionServer:
                     self._send(400, {"error": str(e)})
                 except TimeoutError as e:
                     self._send(504, {"error": str(e)})
+                except ServerFault as e:
+                    self._send(500, {"error": str(e)})
+                except Exception as e:  # never drop the connection
+                    logger.exception("unhandled request error")
+                    self._send(500, {"error": f"{type(e).__name__}: {e}"})
 
         self.httpd = ThreadingHTTPServer((host, port), Handler)
         self.port = self.httpd.server_address[1]
@@ -181,14 +192,27 @@ class CaptionServer:
 
     # ------------------------------------------------------------------
 
-    @staticmethod
-    def _parse_features(obj) -> np.ndarray:
-        feats = np.asarray(obj, dtype=np.float32)
+    def _parse_features(self, obj) -> np.ndarray:
+        try:
+            feats = np.asarray(obj, dtype=np.float32)
+        except Exception as e:  # ragged lists raise TypeError/ValueError
+            raise ValueError(f"features are not a numeric array: {e}")
         if feats.ndim != 2:
             raise ValueError(
                 f"features must be a (frames, feature_dim) 2-D array, got "
                 f"shape {feats.shape}"
             )
+        # Reject dim mismatches HERE: the batcher coalesces concurrent
+        # requests, so one bad shape inside predict_batch would fail every
+        # batchmate (and misreport a client error as a batch fault).
+        expected = self.feature_dim
+        if feats.shape[1] != expected:
+            raise ValueError(
+                f"feature_dim mismatch: model expects {expected}, got "
+                f"{feats.shape[1]}"
+            )
+        if feats.shape[0] == 0:
+            raise ValueError("features must contain at least one frame")
         return feats
 
     @staticmethod
@@ -203,7 +227,9 @@ class CaptionServer:
         if not item.done.wait(self.request_timeout_s):
             raise TimeoutError("caption request timed out")
         if item.error is not None:
-            raise ValueError(item.error)
+            # Inputs were validated at parse time, so a batch-level failure
+            # is a server fault (device error, predictor bug) -> HTTP 500.
+            raise ServerFault(item.error)
         res = dict(item.result)
         res.pop("attention_weights", None)  # not JSON-serializable
         return res
@@ -220,10 +246,17 @@ class CaptionServer:
         if not isinstance(items, list) or not items:
             raise ValueError("missing 'items' list")
         opts = self._parse_options(payload)
-        pending = [
-            self.batcher.submit(self._parse_features(it["features"]), opts)
-            for it in items
-        ]
+        # Validate EVERY item before submitting any: a malformed entry must
+        # 400 without leaving already-submitted batchmates un-awaited.
+        parsed = []
+        for i, it in enumerate(items):
+            if not isinstance(it, dict) or "features" not in it:
+                raise ValueError(f"items[{i}] missing 'features'")
+            try:
+                parsed.append(self._parse_features(it["features"]))
+            except ValueError as e:
+                raise ValueError(f"items[{i}]: {e}")
+        pending = [self.batcher.submit(f, opts) for f in parsed]
         return {"results": [self._await(p) for p in pending]}
 
     # ------------------------------------------------------------------

@@ -150,6 +150,11 @@ class VideoCaptioningTrainer:
         self.current_epoch = 0
         self.global_step = 0
         self.best_val_score = -float("inf")
+        # Host-side snapshot of the best-validation-epoch eval params,
+        # kept under the orbax backend (which writes no best_model.pth;
+        # the retention window may also GC the best epoch). A host COPY,
+        # never a reference — self.params/ema buffers get donated later.
+        self.best_eval_params = None
         self.patience_counter = 0
         self.train_history = []
         self.val_history = []
@@ -593,6 +598,10 @@ class VideoCaptioningTrainer:
 
     def _save(self, epoch: int, metrics: Dict[str, float], is_best: bool) -> None:
         if self.orbax_manager is not None:
+            if is_best:
+                self.best_eval_params = jax.tree_util.tree_map(
+                    np.asarray, self.eval_params
+                )
             # Async sharded save; training continues while it lands.
             self.orbax_manager.save(
                 epoch, self.params, self.opt_state, metrics=metrics,
