@@ -140,6 +140,53 @@ def test_pallas_topk2d_matches_lax_top_k():
         np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
 
 
+def test_pallas_topk2d_irregular_rows_and_vocab_padding():
+    """Row counts not divisible by 8 must take a LEGAL full-dim block (a
+    1-row block fails Mosaic lowering), and -inf vocab padding (topk2d's
+    lane-alignment path for V=10000-style vocabs) must never be selected."""
+    from video_captioning_tpu.ops.topk_pallas import topk2d_pallas
+
+    rs = np.random.RandomState(1)
+    for N in (20, 300):  # N % 8 != 0 -> block_rows falls back to N
+        x = rs.randn(N, 256).astype(np.float32)
+        v1, i1 = topk2d_pallas(jnp.asarray(x), 5, interpret=True)
+        v2, i2 = jax.lax.top_k(jnp.asarray(x), 5)
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    # -inf padding columns (what topk2d appends for V % 128 != 0).
+    x = rs.randn(16, 200).astype(np.float32)
+    xp = np.pad(x, ((0, 0), (0, 56)), constant_values=float("-inf"))
+    v1, i1 = topk2d_pallas(jnp.asarray(xp), 5, interpret=True)
+    v2, i2 = jax.lax.top_k(jnp.asarray(x), 5)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    assert int(np.asarray(i1).max()) < 200
+
+
+def test_beam_pallas_topk_flag_tokens_identical(tiny_config):
+    """kernels.use_pallas_topk routes the beam expansion through topk2d;
+    on CPU the gate falls back to lax.top_k, so the flag must be a strict
+    no-op on tokens AND scores (exercises the beam.py routing)."""
+    from video_captioning_tpu import generation
+    from video_captioning_tpu.models import init_model
+
+    cfg = tiny_config
+    params = init_model(jax.random.PRNGKey(0), cfg, 31)
+    feats = np.asarray(jax.random.normal(jax.random.PRNGKey(1), (3, 10, 24)))
+    ref = generation.generate(params, cfg, feats, 1, 2, method="beam",
+                              beam_size=4)
+    cfg.kernels.use_pallas_topk = True
+    try:
+        got = generation.generate(params, cfg, feats, 1, 2, method="beam",
+                                  beam_size=4)
+    finally:
+        cfg.kernels.use_pallas_topk = False
+    np.testing.assert_array_equal(np.asarray(got["generated_tokens"]),
+                                  np.asarray(ref["generated_tokens"]))
+    np.testing.assert_array_equal(np.asarray(got["all_scores"]),
+                                  np.asarray(ref["all_scores"]))
+
+
 def test_fused_vocab_topk_lse_matches_xla():
     """Fused vocab-projection+top-k+lse kernel vs the XLA composite with
     matching operand precision (bf16 operands, f32 accumulation), including
@@ -177,6 +224,19 @@ def test_fused_vocab_topk_lse_matches_xla():
     wp2, bp2, _ = pad_vocab_weights(jnp.asarray(W2), jnp.zeros(700), vt=128)
     _, i2, _ = vocab_topk_lse(jnp.asarray(x2), wp2, bp2, K, vt=128, interpret=True)
     np.testing.assert_array_equal(np.asarray(i2[0]), [3, 130, 131, 500, 699])
+
+    # Row counts with no 8-divisible tile (N=20) must take the full-N
+    # block (a 1-row block is an illegal Mosaic shape).
+    x3 = jnp.asarray(rs.randn(20, H).astype(np.float32))
+    vals3, idx3, lse3 = vocab_topk_lse(x3, wp, bp, K, vt=128, interpret=True)
+    logits3 = jax.lax.dot(
+        x3.astype(jnp.bfloat16), W.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    ) + b
+    ref_v3, ref_i3 = jax.lax.top_k(logits3, K)
+    np.testing.assert_allclose(np.asarray(vals3), np.asarray(ref_v3),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(idx3), np.asarray(ref_i3))
 
 
 def test_beam_fused_vocab_topk_path(tiny_config):
@@ -516,6 +576,14 @@ def test_conv1x1_matmul_bias_act_matches_xla():
     ref2 = x @ w + b
     got2 = matmul_bias_act(x, w, b, relu=False, interpret=True)
     np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2),
+                               rtol=1e-5, atol=1e-5)
+    # residual WITHOUT relu: the fused kernel must honor relu=False (it
+    # used to apply ReLU unconditionally whenever a residual was given,
+    # silently diverging from the XLA fallback).
+    ref3 = x @ w + b + r
+    got3 = matmul_bias_act(x, w, b, r, relu=False, interpret=True)
+    assert float(np.asarray(ref3).min()) < 0  # vacuity guard
+    np.testing.assert_allclose(np.asarray(got3), np.asarray(ref3),
                                rtol=1e-5, atol=1e-5)
 
 

@@ -210,6 +210,11 @@ class KernelConfig:
     # hierarchical XLA path at reference shapes (9161 vs 9183 clips/s,
     # docs/PERFORMANCE.md) — kept as infrastructure, default off.
     use_fused_vocab_topk: bool = False
+    # Streaming Pallas top-k (ops/topk_pallas.py) for the beam loop's
+    # (B·K, V) expansion in place of lax.top_k's TopK custom call.
+    # Identical values/tie order; non-lane-multiple vocabs are padded
+    # with -inf inside. Default off pending an on-chip A/B at HEAD.
+    use_pallas_topk: bool = False
     interpret: bool = False  # force interpreter mode (CPU testing)
     # Compute additive-attention scores (the profiled decode hot spot: 52M
     # tanh/step at reference scale) in bfloat16 while keeping softmax and

@@ -143,8 +143,17 @@ def beam_search_generate(
             logits32 = logits.astype(jnp.float32).reshape(B, K, V)
             # rank-2 operand: XLA only lowers top_k to its fast TopK custom
             # fusion for 2-D inputs (3-D falls back to a full per-row sort,
-            # measured 45x slower at this shape).
-            top_logits, top_tokens = jax.lax.top_k(logits32.reshape(B * K, V), kk)
+            # measured 45x slower at this shape). use_pallas_topk swaps in
+            # the streaming Pallas kernel (ops/topk_pallas.py), identical
+            # values/tie order.
+            if config.kernels.use_pallas_topk:
+                from ..ops.topk_pallas import topk2d
+
+                top_logits, top_tokens = topk2d(logits32.reshape(B * K, V), kk)
+            else:
+                top_logits, top_tokens = jax.lax.top_k(
+                    logits32.reshape(B * K, V), kk
+                )
             top_logits = top_logits.reshape(B, K, kk)
             top_tokens = top_tokens.reshape(B, K, kk)
             row_max = top_logits[..., 0]  # top-1 IS the row max

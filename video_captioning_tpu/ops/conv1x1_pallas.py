@@ -72,11 +72,13 @@ def pick_blocks(
     return None
 
 
-def _kernel_res(x_ref, w_ref, b_ref, r_ref, o_ref):
+def _kernel_res(x_ref, w_ref, b_ref, r_ref, o_ref, *, relu: bool):
     acc = jnp.dot(x_ref[:], w_ref[:], preferred_element_type=jnp.float32)
     acc = acc + b_ref[:].astype(jnp.float32)
     acc = acc + r_ref[:].astype(jnp.float32)
-    o_ref[:] = jnp.maximum(acc, 0.0).astype(o_ref.dtype)
+    if relu:
+        acc = jnp.maximum(acc, 0.0)
+    o_ref[:] = acc.astype(o_ref.dtype)
 
 
 def _kernel_plain(x_ref, w_ref, b_ref, o_ref, *, relu: bool):
@@ -141,7 +143,7 @@ def matmul_bias_act(
     if residual is not None:
         assert residual.shape == (M, N)
         return pl.pallas_call(
-            _kernel_res,
+            functools.partial(_kernel_res, relu=relu),
             out_shape=out_shape,
             grid=grid,
             in_specs=[x_spec, w_spec, b_spec, o_spec],

@@ -62,7 +62,9 @@ def topk2d_pallas(
     """
     N, V = x.shape
     if N % block_rows != 0:
-        block_rows = 8 if N % 8 == 0 else 1
+        # Mosaic needs the row-block dim 8-divisible OR equal to the full
+        # dim (a 1-row block is ILLEGAL otherwise — see lstm_seq_pallas).
+        block_rows = next((t for t in (32, 16, 8) if N % t == 0), N)
     grid = (N // block_rows,)
 
     kernel = functools.partial(_topk_kernel, k=k)
@@ -91,13 +93,23 @@ def topk2d_pallas(
 def topk2d(x: Array, k: int) -> Tuple[Array, Array]:
     """Backend-adaptive exact top-k: the Pallas kernel on TPU (measured
     ~3x the TopK custom call's throughput at beam shapes), ``lax.top_k``
-    elsewhere. Identical values and tie order on both paths."""
+    elsewhere. Identical values and tie order on both paths.
+
+    Reachable from the beam loop via ``config.kernels.use_pallas_topk``
+    (default off; ``lax.top_k``'s rank-2 custom call is the baseline).
+    A non-lane-multiple vocab (e.g. the reference's V=10000) is padded to
+    the next multiple of 128 with -inf columns, which are never selected.
+    """
     if (
         jax.default_backend() == "tpu"
         and x.ndim == 2
         and x.dtype == jnp.float32
-        and x.shape[1] % 128 == 0
         and k <= 16
+        and k <= x.shape[1]
     ):
+        V = x.shape[1]
+        v_pad = -(-V // 128) * 128
+        if v_pad != V:
+            x = jnp.pad(x, ((0, 0), (0, v_pad - V)), constant_values=_NEG_INF)
         return topk2d_pallas(x, k)
     return jax.lax.top_k(x, k)

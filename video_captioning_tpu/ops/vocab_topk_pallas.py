@@ -156,7 +156,11 @@ def vocab_topk_lse(
     v_padded = w_padded.shape[1]
     bm = min(N, 256)
     if N % bm != 0:
-        bm = 8 if N % 8 == 0 else 1
+        # Mosaic needs the row-block dim 8-divisible OR equal to the full
+        # dim (a 1-row block is ILLEGAL — see lstm_seq_pallas.py). Take
+        # the largest 8-divisible tile that divides N, else the whole N
+        # (at the beam gate's N <= 2560 the full-N block still fits VMEM).
+        bm = next((t for t in (128, 64, 32, 16, 8) if N % t == 0), N)
     grid = (N // bm, v_padded // vt)
     kern = functools.partial(_kernel, k=k, vt=vt, v_padded=v_padded)
     vals, idx, lse = pl.pallas_call(

@@ -47,38 +47,23 @@ def attend_context_parallel(
 
     Returns (context (B, E) replicated, weights (B, S) S-sharded) —
     numerically identical to the unsharded ``attention.attend``.
+
+    Thin wrapper over :func:`attend_cp` (the generic all-kinds CP attend
+    that models/attention.py routes through): builds the precomputed
+    enc-projection cache and delegates, so the online-softmax combine
+    exists in exactly one place.
     """
-    attn = params
-
-    def local_attend(enc_local, dec_hidden, mask_local):
-        # enc_local: (B, S_local, E) — this shard's frames.
-        enc_proj = apply_linear(attn["encoder_projection"], enc_local)
-        dec_proj = apply_linear(attn["decoder_projection"], dec_hidden)
-        combined = jnp.tanh(enc_proj + dec_proj[:, None, :])
-        scores = apply_linear(attn["attention_linear"], combined)[..., 0]
-        if mask_local is not None:
-            scores = jnp.where(mask_local > 0, scores, _MASK_FILL)
-
-        # Online-softmax combine across shards: global max, then global sum.
-        m_local = jnp.max(scores, axis=-1)                       # (B,)
-        m_global = jax.lax.pmax(m_local, axis)
-        exp = jnp.exp(scores - m_global[:, None])                 # (B, S_l)
-        denom = jax.lax.psum(jnp.sum(exp, axis=-1), axis)        # (B,)
-        weights_local = exp / denom[:, None]                     # (B, S_l)
-
-        ctx_local = jnp.einsum("bs,bse->be", weights_local, enc_local)
-        context = jax.lax.psum(ctx_local, axis)                  # (B, E)
-        return context, weights_local
-
-    sharded = jax.shard_map(
-        local_attend,
-        mesh=mesh,
-        in_specs=(P(None, axis, None), P(), P(None, axis)),
-        out_specs=(P(), P(None, axis)),
+    if config.model.attention_type != "bahdanau":
+        raise ValueError(
+            "attend_context_parallel is the bahdanau-only legacy entry; "
+            "use attend_cp for other attention types"
+        )
+    cache = {"enc_proj": apply_linear(params["encoder_projection"],
+                                      encoder_outputs)}
+    return attend_cp(
+        config, params, cache, encoder_outputs, decoder_hidden,
+        encoder_mask, axis, mesh=mesh,
     )
-    if encoder_mask is None:
-        encoder_mask = jnp.ones(encoder_outputs.shape[:2], encoder_outputs.dtype)
-    return sharded(encoder_outputs, decoder_hidden, encoder_mask)
 
 
 def shard_frames(mesh: Mesh, x: Array, axis: str = "model") -> Array:
@@ -165,9 +150,12 @@ def attend_cp(
             H, hd = k.shape[2], k.shape[3]
             q = apply_linear(params["query_linear"], dec_h)
             q = q.reshape(q.shape[:-1] + (H, hd))
+            # fp32 scale WITHOUT a cast back: the non-CP path
+            # (models/attention.py _multihead) promotes scores to fp32
+            # here, and token parity at bf16 requires matching that.
             scores = jnp.einsum("b...hd,bshd->b...hs", q, k) / jnp.sqrt(
                 jnp.float32(hd)
-            ).astype(q.dtype)
+            )
             scores = _expand_mask(scores, mask_l)
             w = _online_softmax(scores, axis)  # (B, [K,] H, S_l)
             ctx = jnp.einsum("b...hs,bshd->b...hd", w, v)
