@@ -28,6 +28,8 @@ def main() -> None:
     parser.add_argument("--top", type=int, default=30)
     parser.add_argument("--beam", type=int, default=5)
     parser.add_argument("--max-length", type=int, default=20)
+    parser.add_argument("--architecture", default="lstm",
+                        choices=["lstm", "transformer"])
     args = parser.parse_args()
 
     import jax
@@ -39,6 +41,7 @@ def main() -> None:
     from video_captioning_tpu.models import captioner
 
     config = Config()
+    config.model.architecture = args.architecture
     vocab_size = 10000
     B, T = args.batch, 80
     compute_dtype = (
@@ -102,7 +105,7 @@ def main() -> None:
 
     n = args.batches
     print(f"== per-op device time (top {args.top}), {n} batches, "
-          f"B={B} beam={args.beam} {args.dtype} ==")
+          f"B={B} beam={args.beam} {args.dtype} {args.architecture} ==")
     groups = collections.Counter()
     for name, ns in per_op.most_common():
         groups[classify(name)] += ns

@@ -1,0 +1,195 @@
+"""AOT serving artifacts (inference/export.py): exported StableHLO programs
+produce tokens bit-identical to the live predictor, checksums gate
+tampering, ragged/oversized batches bucket and chunk correctly, and the
+CLI round-trips. No reference analog — the reference re-runs Python model
+code on every serving host (predictor.py:50-76)."""
+
+import json
+import zipfile
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax
+
+
+def _tiny_package(tmp, architecture="lstm", seed=7):
+    from video_captioning_tpu.config import Config
+    from video_captioning_tpu.data.vocabulary import Vocabulary
+    from video_captioning_tpu.models import init_model
+    from video_captioning_tpu.utils.checkpoint import CheckpointManager
+
+    cfg = Config()
+    cfg.model.architecture = architecture
+    cfg.model.cnn_feature_dim = 24
+    cfg.model.encoder_hidden_dim = 16
+    cfg.model.encoder_num_layers = 2
+    cfg.model.decoder_hidden_dim = 16
+    cfg.model.decoder_num_layers = 2
+    cfg.model.embedding_dim = 16 if architecture == "transformer" else 12
+    cfg.model.attention_dim = 16
+    cfg.model.attention_num_heads = 4
+    cfg.model.transformer_num_heads = 4
+    cfg.model.max_sequence_length = 8
+    cfg.model.video_sequence_length = 10
+    cfg.data.frames_per_video = 10
+    cfg.data.vocab_threshold = 1
+    cfg.validate()
+    vocab = Vocabulary(cfg)
+    vocab.build_vocabulary(
+        ["a man rides a horse", "a dog runs fast", "a cat sits still"]
+    )
+    params = init_model(jax.random.PRNGKey(seed), cfg, len(vocab))
+    pkg = CheckpointManager(tmp).save_model_for_inference(params, vocab, cfg)
+    return pkg, cfg
+
+
+def _features(cfg, n, seed=3):
+    rs = np.random.RandomState(seed)
+    return rs.randn(
+        n, cfg.model.video_sequence_length, cfg.model.cnn_feature_dim
+    ).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def exported_beam(tmp_path_factory):
+    from video_captioning_tpu.inference import (
+        VideoCaptionPredictor, export_serving_artifact, ExportedPredictor,
+    )
+
+    tmp = tmp_path_factory.mktemp("export")
+    pkg, cfg = _tiny_package(tmp)
+    out = export_serving_artifact(
+        pkg, tmp / "model.vcx", batch_sizes=[2, 4], method="beam",
+        max_length=8, beam_size=3, platforms=["cpu"],
+    )
+    return out, pkg, cfg, VideoCaptionPredictor(pkg), ExportedPredictor(out)
+
+
+def test_beam_tokens_match_live_predictor(exported_beam):
+    _, _, cfg, live, aot = exported_beam
+    feats = _features(cfg, 4)
+    live_results = live.predict_batch(
+        list(feats), method="beam", max_length=8, beam_size=3
+    )
+    aot_results = aot.predict_batch(feats)
+    assert len(aot_results) == 4
+    for lr, ar in zip(live_results, aot_results):
+        assert ar["tokens"] == lr["tokens"]
+        assert ar["caption"] == lr["caption"]
+        assert ar["method"] == "beam"
+        assert np.isfinite(ar["score"])
+
+
+def test_ragged_batch_pads_to_bucket(exported_beam):
+    _, _, cfg, live, aot = exported_beam
+    feats = _features(cfg, 3, seed=11)  # 3 → bucket 4
+    live_results = live.predict_batch(
+        list(feats), method="beam", max_length=8, beam_size=3
+    )
+    aot_results = aot.predict_batch(feats)
+    assert len(aot_results) == 3
+    assert [r["tokens"] for r in aot_results] == [
+        r["tokens"] for r in live_results
+    ]
+
+
+def test_oversized_batch_chunks(exported_beam):
+    _, _, cfg, live, aot = exported_beam
+    feats = _features(cfg, 7, seed=13)  # > largest bucket (4): 4 + 3 chunks
+    live_results = live.predict_batch(
+        list(feats), method="beam", max_length=8, beam_size=3
+    )
+    aot_results = aot.predict_batch(feats)
+    assert len(aot_results) == 7
+    assert [r["tokens"] for r in aot_results] == [
+        r["tokens"] for r in live_results
+    ]
+
+
+def test_single_clip_surface(exported_beam):
+    _, _, cfg, _, aot = exported_beam
+    rec = aot.predict_from_features(_features(cfg, 1, seed=17)[0])
+    assert isinstance(rec["caption"], str)
+    assert len(rec["tokens"]) == 9  # START + max_length
+
+
+def test_bad_feature_shape_raises(exported_beam):
+    _, _, cfg, _, aot = exported_beam
+    with pytest.raises(ValueError, match="expected features shaped"):
+        aot.predict_batch(np.zeros((2, 5, cfg.model.cnn_feature_dim)))
+    with pytest.raises(ValueError, match=r"expected \(B, T, F\)"):
+        aot.predict_batch(np.zeros((10, 24)))
+
+
+def test_checksum_tamper_detected(exported_beam, tmp_path):
+    from video_captioning_tpu.inference import ExportedPredictor
+
+    out, _, cfg, _, _ = exported_beam
+    tampered = tmp_path / "tampered.vcx"
+    with zipfile.ZipFile(out) as src, zipfile.ZipFile(tampered, "w") as dst:
+        for name in src.namelist():
+            data = src.read(name)
+            if name == "program_b2.bin":
+                data = data[:100] + bytes([data[100] ^ 0xFF]) + data[101:]
+            dst.writestr(name, data)
+    aot = ExportedPredictor(tampered)
+    with pytest.raises(ValueError, match="checksum mismatch"):
+        aot.predict_batch(_features(cfg, 2))
+
+
+def test_wrong_format_rejected(tmp_path):
+    from video_captioning_tpu.inference import ExportedPredictor
+
+    bogus = tmp_path / "bogus.vcx"
+    with zipfile.ZipFile(bogus, "w") as zf:
+        zf.writestr("manifest.json", json.dumps({"format": "other-v9"}))
+    with pytest.raises(ValueError, match="not a vcx-v1 artifact"):
+        ExportedPredictor(bogus)
+
+
+def test_greedy_and_transformer_family(tmp_path):
+    """Greedy export + the transformer family through the same artifact
+    surface (one compiled program serves either architecture)."""
+    from video_captioning_tpu.inference import (
+        VideoCaptionPredictor, export_serving_artifact, ExportedPredictor,
+    )
+
+    pkg, cfg = _tiny_package(tmp_path, architecture="transformer")
+    out = export_serving_artifact(
+        pkg, tmp_path / "tr.vcx", batch_sizes=[4], method="greedy",
+        max_length=8, platforms=["cpu"],
+    )
+    live = VideoCaptionPredictor(pkg)
+    aot = ExportedPredictor(out)
+    feats = _features(cfg, 4, seed=23)
+    live_results = live.predict_batch(list(feats), method="greedy", max_length=8)
+    aot_results = aot.predict_batch(feats)
+    assert [r["tokens"] for r in aot_results] == [
+        r["tokens"] for r in live_results
+    ]
+    assert all(r["method"] == "greedy" for r in aot_results)
+    assert aot.manifest["model_config"]["model"]["architecture"] == "transformer"
+
+
+def test_cli_roundtrip(tmp_path, capsys):
+    from video_captioning_tpu.cli.export import main as export_main
+    from video_captioning_tpu.inference import ExportedPredictor
+
+    pkg, cfg = _tiny_package(tmp_path)
+    out = tmp_path / "cli.vcx"
+    export_main([
+        "--model-path", str(pkg), "--output", str(out),
+        "--batch-sizes", "2", "--method", "beam", "--beam-size", "2",
+        "--max-length", "6", "--platforms", "cpu",
+    ])
+    assert out.exists()
+    assert "wrote" in capsys.readouterr().out
+    aot = ExportedPredictor(out)
+    res = aot.predict_batch(_features(cfg, 2, seed=29))
+    assert len(res) == 2 and all(len(r["tokens"]) == 7 for r in res)
+    # Manifest carries everything a serving fleet needs to validate.
+    m = aot.manifest
+    assert m["beam_size"] == 2 and m["platforms"] == ["cpu"]
+    assert m["vocabulary"]["special_tokens"]["end_idx"] == 2

@@ -1,0 +1,305 @@
+"""AOT-compiled serving artifacts via ``jax.export`` (StableHLO).
+
+No reference analog: the reference serves by rebuilding the Python model
+and loading a state dict at process start (src/inference/predictor.py:50-76).
+On TPU the natural deployment unit is the *compiled program*: ``jax.export``
+serializes the traced StableHLO of the exact jitted generation function the
+predictor runs — weights baked in as constants — so a serving host needs no
+model code, no weight file, and no trace step: deserialize and call.
+
+Artifact (``.vcx``, a zip):
+
+* ``manifest.json`` — format version, generation settings, batch buckets,
+  export platforms, the vocabulary, the model config, and a sha256 per
+  program blob (verified at load; tampering is a hard error).
+* ``program_b{B}.bin`` — one serialized ``jax.export.Exported`` per batch
+  bucket. Ragged batches pad up to the nearest bucket (the same bucketing
+  discipline as ``VideoCaptionPredictor._bucket_size``) and oversized
+  batches chunk over the largest bucket.
+
+Tokens are bit-identical to the live predictor's: the exported function is
+the same ``captioner.encode`` → ``beam_search_generate``/``greedy_generate``
+program, traced once at export time (gated in tests/test_export.py).
+
+Notes:
+
+* Pallas kernels are trace-time gated on ``jax.default_backend()``; an
+  artifact exported from a CPU host is pure XLA (runs anywhere in
+  ``platforms``), one exported on a TPU host may embed Mosaic custom calls
+  (TPU-only). The manifest records the export platforms either way.
+* ``deserialize`` needs only jax — ``ExportedPredictor`` is importable on
+  hosts without this package's model code (it reads vocab from the
+  manifest, not from ``data.vocabulary``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import logging
+import zipfile
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Union
+
+import numpy as np
+
+ARTIFACT_FORMAT = "vcx-v1"
+
+logger = logging.getLogger(__name__)
+
+
+def _sha256(blob: bytes) -> str:
+    return hashlib.sha256(blob).hexdigest()
+
+
+def export_serving_artifact(
+    model_path: Union[str, Path],
+    output_path: Union[str, Path],
+    batch_sizes: Sequence[int] = (1, 8, 64),
+    method: str = "beam",
+    max_length: int = 20,
+    beam_size: int = 5,
+    length_penalty: float = 1.0,
+    compute_dtype: Optional[str] = None,
+    platforms: Optional[Sequence[str]] = None,
+) -> Path:
+    """Trace + serialize the serving program for each batch bucket.
+
+    ``model_path``: a trained inference package (the ``.pth`` written by
+    ``CheckpointManager.save_model_for_inference``). ``platforms``: lowering
+    targets (e.g. ``["tpu"]`` or ``["cpu", "tpu"]``); None = the exporting
+    host's backend.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..config import Config
+    from ..generation.beam import beam_search_generate
+    from ..generation.greedy import greedy_generate
+    from ..models import captioner
+    from ..utils.checkpoint import CheckpointManager, restore_params
+
+    if method not in ("beam", "greedy"):
+        raise ValueError(
+            f"export supports deterministic methods beam/greedy, got {method!r}"
+        )
+    batch_sizes = sorted(set(int(b) for b in batch_sizes))
+    if not batch_sizes or batch_sizes[0] < 1:
+        raise ValueError(f"batch_sizes must be positive, got {batch_sizes}")
+
+    model_path = Path(model_path)
+    package = CheckpointManager(model_path.parent).load_model_for_inference(
+        model_path
+    )
+    config = Config.from_dict(package["model_config"])
+    params = restore_params(package["model_state_dict"])
+    if compute_dtype == "bfloat16":
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+            params,
+        )
+    elif compute_dtype not in (None, "float32"):
+        raise ValueError(f"unsupported compute_dtype {compute_dtype!r}")
+
+    vocab = package["vocabulary"]
+    start = vocab["special_tokens"]["start_idx"]
+    end = vocab["special_tokens"]["end_idx"]
+    feat_dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+
+    def serving_fn(features):
+        enc_outs, final, mask = captioner.encode(params, config, features)
+        if method == "beam":
+            out = beam_search_generate(
+                params, config, enc_outs, final, start, end, max_length,
+                mask, beam_size=beam_size, length_penalty=length_penalty,
+            )
+            return {
+                "generated_tokens": out["generated_tokens"],
+                "all_tokens": out["all_tokens"],
+                "all_scores": out["all_scores"],
+            }
+        out = greedy_generate(
+            params, config, enc_outs, final, start, end, max_length, mask
+        )
+        return {"generated_tokens": out["generated_tokens"]}
+
+    T = config.model.video_sequence_length
+    F = config.model.cnn_feature_dim
+    export_kwargs = {}
+    if platforms is not None:
+        export_kwargs["platforms"] = list(platforms)
+
+    programs: Dict[int, bytes] = {}
+    for B in batch_sizes:
+        spec = jax.ShapeDtypeStruct((B, T, F), feat_dtype)
+        exported = jax.export.export(jax.jit(serving_fn), **export_kwargs)(spec)
+        programs[B] = exported.serialize()
+        logger.info(
+            "exported batch-%d program: %.1f MiB", B, len(programs[B]) / 2**20
+        )
+
+    manifest = {
+        "format": ARTIFACT_FORMAT,
+        "source_model": model_path.name,
+        "method": method,
+        "max_length": max_length,
+        "beam_size": beam_size,
+        "length_penalty": length_penalty,
+        "compute_dtype": compute_dtype or "float32",
+        "feature_shape": [T, F],
+        "batch_sizes": batch_sizes,
+        "platforms": list(platforms) if platforms is not None
+        else [jax.default_backend()],
+        "jax_version": jax.__version__,
+        "programs": {
+            str(B): {"file": f"program_b{B}.bin", "sha256": _sha256(blob)}
+            for B, blob in programs.items()
+        },
+        "vocabulary": {
+            "idx2word": {str(k): v for k, v in vocab["idx2word"].items()},
+            "special_tokens": vocab["special_tokens"],
+        },
+        "model_config": package["model_config"],
+    }
+
+    output_path = Path(output_path)
+    tmp = output_path.with_suffix(output_path.suffix + ".tmp")
+    with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("manifest.json", json.dumps(manifest, indent=2))
+        for B, blob in programs.items():
+            # The blobs are already-compressed flatbuffers; store raw.
+            zf.writestr(
+                zipfile.ZipInfo(f"program_b{B}.bin"), blob,
+                compress_type=zipfile.ZIP_STORED,
+            )
+    tmp.replace(output_path)
+    logger.info("wrote serving artifact %s", output_path)
+    return output_path
+
+
+class ExportedPredictor:
+    """Serve captions from a ``.vcx`` artifact — no model code needed.
+
+    Mirrors the live predictor's decode surface (tokens → caption text via
+    the embedded vocabulary) but the device program is the deserialized
+    AOT export: zero trace/compile on the serving host beyond XLA's final
+    lowering of the shipped StableHLO.
+    """
+
+    def __init__(self, artifact_path: Union[str, Path]):
+        self.path = Path(artifact_path)
+        with zipfile.ZipFile(self.path) as zf:
+            manifest = json.loads(zf.read("manifest.json"))
+        if manifest.get("format") != ARTIFACT_FORMAT:
+            raise ValueError(
+                f"{self.path} is not a {ARTIFACT_FORMAT} artifact "
+                f"(format={manifest.get('format')!r})"
+            )
+        self.manifest = manifest
+        self.method = manifest["method"]
+        self.batch_sizes: List[int] = sorted(manifest["batch_sizes"])
+        self._idx2word = {
+            int(k): v for k, v in manifest["vocabulary"]["idx2word"].items()
+        }
+        sp = manifest["vocabulary"]["special_tokens"]
+        # PAD/START/END are stripped; UNK is kept — and END does NOT stop
+        # the decode (the reference strips specials *before* its END break,
+        # vocabulary.py:182-192; Vocabulary.decode_caption replicates it,
+        # so this must too for identical caption text).
+        self._special = {sp["pad_idx"], sp["start_idx"], sp["end_idx"]}
+        self._fns: Dict[int, object] = {}
+
+    # ------------------------------------------------------------ loading
+
+    def _fn(self, bucket: int):
+        if bucket not in self._fns:
+            import jax
+
+            entry = self.manifest["programs"][str(bucket)]
+            with zipfile.ZipFile(self.path) as zf:
+                blob = zf.read(entry["file"])
+            digest = _sha256(blob)
+            if digest != entry["sha256"]:
+                raise ValueError(
+                    f"{self.path}:{entry['file']} checksum mismatch "
+                    f"(manifest {entry['sha256'][:12]}…, file {digest[:12]}…) "
+                    "— artifact corrupted or tampered"
+                )
+            self._fns[bucket] = jax.export.deserialize(blob).call
+        return self._fns[bucket]
+
+    def _bucket_for(self, n: int) -> int:
+        for b in self.batch_sizes:
+            if b >= n:
+                return b
+        return self.batch_sizes[-1]
+
+    # --------------------------------------------------------- generation
+
+    def decode_caption(self, tokens: Sequence[int]) -> str:
+        """Special-token-stripped decode, identical to
+        ``Vocabulary.decode_caption(remove_special_tokens=True)`` including
+        the reference's skip-specials-before-END-break quirk
+        (vocabulary.py:182-192): post-END tokens are kept, UNK is kept,
+        out-of-vocab ids are dropped."""
+        words = []
+        for t in tokens:
+            t = int(t)
+            if t not in self._idx2word:
+                continue
+            if t in self._special:
+                continue
+            words.append(self._idx2word[t])
+        return " ".join(words)
+
+    def predict_batch(self, features: np.ndarray) -> List[Dict[str, object]]:
+        """features: (B, T, F) resampled clip features. Returns one record
+        per clip: caption text, token ids, and (beam) the top-K scores."""
+        import numpy as _np
+
+        dtype = self.manifest["compute_dtype"]
+        feats = _np.asarray(features, _np.float32)
+        if feats.ndim != 3:
+            raise ValueError(f"expected (B, T, F) features, got {feats.shape}")
+        T, F = self.manifest["feature_shape"]
+        if list(feats.shape[1:]) != [T, F]:
+            raise ValueError(
+                f"expected features shaped (B, {T}, {F}), got {feats.shape}"
+            )
+
+        results: List[Dict[str, object]] = []
+        n = feats.shape[0]
+        pos = 0
+        while pos < n:
+            chunk = feats[pos: pos + self._bucket_for(n - pos)]
+            bucket = self._bucket_for(chunk.shape[0])
+            real = chunk.shape[0]
+            if real < bucket:
+                pad = _np.zeros(
+                    (bucket - real,) + tuple(chunk.shape[1:]), _np.float32
+                )
+                chunk = _np.concatenate([chunk, pad], axis=0)
+            if dtype == "bfloat16":
+                import jax.numpy as jnp
+
+                chunk = jnp.asarray(chunk).astype(jnp.bfloat16)
+            out = self._fn(bucket)(chunk)
+            tokens = _np.asarray(out["generated_tokens"])[:real]
+            scores = (
+                _np.asarray(out["all_scores"])[:real]
+                if "all_scores" in out else None
+            )
+            for i in range(real):
+                rec: Dict[str, object] = {
+                    "caption": self.decode_caption(tokens[i].tolist()),
+                    "tokens": tokens[i].tolist(),
+                    "method": self.method,
+                }
+                if scores is not None:
+                    rec["score"] = float(scores[i][0])
+                results.append(rec)
+            pos += real
+        return results
+
+    def predict_from_features(self, video_features: np.ndarray) -> Dict[str, object]:
+        return self.predict_batch(np.asarray(video_features)[None])[0]
