@@ -240,6 +240,38 @@ def test_beam_batch_items_independent(tr_config):
         np.testing.assert_array_equal(np.asarray(full[i]), np.asarray(solo[0]))
 
 
+def test_lazy_rebeam_matches_physical_rebeam(tr_config):
+    """The ancestry-indexed (lazy) KV rebeam must reproduce the physical
+    cache-gather path exactly: same tokens, same completed register, same
+    scores. Run at several beam sizes and with a ragged mask so dead
+    beams, END completions, and masked frames all cross the rebeam."""
+    params, feats, enc_outs, final, mask = _setup(tr_config, B=3, key=11)
+    ragged = mask.at[1, 6:].set(0)
+    for K in (2, 4, 7):
+        tr_config.kernels.transformer_lazy_rebeam = True
+        lazy = beam_search_generate(
+            params, tr_config, enc_outs, final, START, END, 6, ragged,
+            beam_size=K, length_penalty=0.8,
+        )
+        tr_config.kernels.transformer_lazy_rebeam = False
+        phys = beam_search_generate(
+            params, tr_config, enc_outs, final, START, END, 6, ragged,
+            beam_size=K, length_penalty=0.8,
+        )
+        tr_config.kernels.transformer_lazy_rebeam = True
+        np.testing.assert_array_equal(
+            np.asarray(lazy["generated_tokens"]),
+            np.asarray(phys["generated_tokens"]),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(lazy["all_tokens"]), np.asarray(phys["all_tokens"])
+        )
+        np.testing.assert_allclose(
+            np.asarray(lazy["all_scores"]), np.asarray(phys["all_scores"]),
+            rtol=0, atol=1e-5,
+        )
+
+
 def test_beam_fused_vocab_topk_path_transformer(tr_config):
     """The fused vocab-projection+top-k Pallas path (taken on TPU) must be
     token-identical to the XLA path for the transformer family too — its

@@ -239,6 +239,16 @@ class KernelConfig:
     # stage-1 Cm=64 matmuls underutilize the MXU, swamping the HBM-traffic
     # savings) and s2d was neutral — both kept flag-gated for the record.
     resnet50_variant: str = "folded"
+    # Transformer-family beam search: rebeam the self-attention KV caches
+    # LAZILY via a (B, K, T) ancestry-index carry instead of physically
+    # gathering both (n_blocks, B·K, T, D) cache tensors every step.
+    # Columns of the physical cache are write-once (position t is written
+    # exactly once), so attention can score against all K physical rows
+    # (a K× expansion of the tiny (B, K, h, T) score tensor) and select
+    # with the one-hot ancestry — the big caches are read once and written
+    # one row per step. Token/score-identical to physical rebeaming
+    # (gated in tests/test_transformer.py); pure-XLA, no kernel.
+    transformer_lazy_rebeam: bool = True
 
 
 @dataclass

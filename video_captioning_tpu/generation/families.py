@@ -157,9 +157,33 @@ def _transformer_family(
     # UN-expanded (B, S, D) — the decode step broadcasts over the beam
     # axis in-register (same HBM saving as the LSTM beam path).
     cross_kv = tr.precompute_cross_kv(dec, encoder_outputs)
+    # Beam decode state dtype: fp32 even under bf16 params. Measured on
+    # chip (docs/PERFORMANCE.md round 3): with bf16 caches the beam loop's
+    # cross-attention softmax fusions hit a 4x-slower packed-layout path
+    # (46 vs 32 ms/batch at B=256) while fp32 state costs nothing extra —
+    # XLA's DEFAULT dot precision already streams bf16 operand copies for
+    # the score/context dots, so fp32 state + bf16 params IS the fast
+    # hybrid. Greedy (K=1) keeps bf16 state: measured faster there
+    # (6.7 vs 10.5 ms/batch).
+    state_dtype = encoder_outputs.dtype
+    if K > 1 and state_dtype == jnp.bfloat16:
+        state_dtype = jnp.float32
+        cross_kv = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.float32), cross_kv
+        )
     state0 = tr.init_decode_state(
-        dec, config, B * K, encoder_outputs.dtype, max_positions=max_length
+        dec, config, B * K, state_dtype, max_positions=max_length
     )
+    # Lazy (ancestry) rebeam: caches stay physical-slot indexed, the
+    # per-step rebeam touches only a (B, K, T) int32 carry, and the beam
+    # attention selects prefixes with the one-hot ancestry
+    # (models/transformer.py:_cached_self_attn_beam). Identical tokens and
+    # scores; ~3x less cache HBM traffic per step than physically
+    # gathering both (n_blocks, B·K, T, D) tensors.
+    lazy = K > 1 and config.kernels.transformer_lazy_rebeam
+    if lazy:
+        T_state = state0["k"].shape[2]
+        state0 = dict(state0, anc=tr.init_beam_ancestry(B, K, T_state))
 
     def step(tokens, state, t):
         return tr.decode_step(
@@ -168,24 +192,37 @@ def _transformer_family(
 
     def step_beam(tokens_bk, state, t):
         b, k = tokens_bk.shape
-        return tr.decode_step(
+        fn = tr.decode_step_beam if lazy else tr.decode_step
+        return fn(
             dec, config, tokens_bk.reshape(b * k), state, t, cross_kv,
             encoder_mask,
         )
 
     def step_beam_core(tokens_bk, state, t):
         b, k = tokens_bk.shape
-        return tr.decode_step_core(
+        fn = tr.decode_step_beam_core if lazy else tr.decode_step_core
+        return fn(
             dec, config, tokens_bk.reshape(b * k), state, t, cross_kv,
             encoder_mask,
         )
 
     def rebeam(state, onehot):
-        # Whole-cache rebeam: candidate n's prefix is old beam k's prefix
-        # including the K/V row the step just wrote at position t, so the
-        # full (T, D) cache rows are selected per beam.
-        oh_f = onehot.astype(state["k"].dtype)
         B_, Kn, Ko = onehot.shape
+        if lazy:
+            # Compose ancestry: new beam n inherits old beam k's mapping
+            # for every column (column t is already k-identity, so it
+            # composes to beam_idx — the slot the row was written in).
+            anc = jnp.sum(
+                jnp.where(onehot[:, :, :, None], state["anc"][:, None], 0),
+                axis=2,
+                dtype=jnp.int32,
+            )
+            return dict(state, anc=anc)
+
+        # Physical rebeam (flag off): candidate n's prefix is old beam k's
+        # prefix including the K/V row the step just wrote at position t,
+        # so the full (T, D) cache rows are selected per beam.
+        oh_f = onehot.astype(state["k"].dtype)
 
         def rb(x):
             nb, _, T, D = x.shape

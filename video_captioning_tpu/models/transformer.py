@@ -331,10 +331,18 @@ def apply_transformer_decoder(
 # --------------------------------------------------------------------------
 
 
-def precompute_cross_kv(params: dict, encoder_outputs: Array) -> Dict[str, Array]:
+def precompute_cross_kv(
+    params: dict, encoder_outputs: Array, num_heads: Optional[int] = None
+) -> Dict[str, Array]:
     """Cross-attention K/V for every decoder block, computed ONCE per
     generation call (analog of models/attention.precompute). Stacked
-    (n_blocks, B, S, D); stays un-expanded across beams."""
+    (n_blocks, B, S, D); stays un-expanded across beams.
+
+    ``num_heads`` is accepted (and ignored) for call-site symmetry: a
+    head-major (n_blocks, B, h, S, dh) layout was A/B'd on chip and LOST
+    ~50% on the greedy path (XLA handles the in-loop head split of the
+    (B, S, D) form better than a pre-transposed operand; beam neutral) —
+    docs/PERFORMANCE.md round-3 negative results."""
     ks, vs = [], []
     for blk in params["blocks"]:
         ks.append(apply_linear(blk["cross_attn"]["wk"], encoder_outputs))
@@ -373,34 +381,100 @@ def init_decode_state(
 
 
 def _cached_self_attn(
-    p: dict, x: Array, k_cache: Array, v_cache: Array, t: Array, heads: int
+    p: dict, x: Array, k_all: Array, v_all: Array, layer: int, t: Array,
+    heads: int,
 ) -> Tuple[Array, Array, Array]:
     """One-query self-attention over the cache prefix.
 
-    x: (N, D) current position's (pre-LN'd) activation; k/v_cache:
-    (N, T_max, D). Writes position ``t`` and attends over positions ≤ t.
-    Returns (out (N, D), new_k, new_v).
+    x: (N, D) current position's (pre-LN'd) activation; k/v_all: the
+    STACKED (n_blocks, N, T_max, D) caches — updated in place at
+    ``[layer, :, t, :]`` with a static layer index so XLA keeps the
+    dynamic-update-slice in the donated while-loop carry (the earlier
+    per-layer unstack + ``jnp.stack`` rebuilt both full cache tensors
+    every step: ~2x the cache HBM traffic at B·K=1280). Attends over
+    positions ≤ t. Returns (out (N, D), new_k_all, new_v_all).
     """
-    N, T_max, D = k_cache.shape
+    _, N, T_max, D = k_all.shape
     dh = D // heads
     q = apply_linear(p["wq"], x)                       # (N, D)
     k_t = apply_linear(p["wk"], x)
     v_t = apply_linear(p["wv"], x)
-    k_cache = jax.lax.dynamic_update_slice_in_dim(
-        k_cache, k_t[:, None, :], t, axis=1)
-    v_cache = jax.lax.dynamic_update_slice_in_dim(
-        v_cache, v_t[:, None, :], t, axis=1)
+    k_all = jax.lax.dynamic_update_slice(
+        k_all, k_t[None, :, None, :], (layer, 0, t, 0))
+    v_all = jax.lax.dynamic_update_slice(
+        v_all, v_t[None, :, None, :], (layer, 0, t, 0))
 
     qh = q.reshape(N, heads, dh)
-    kh = k_cache.reshape(N, T_max, heads, dh)
-    vh = v_cache.reshape(N, T_max, heads, dh)
+    kh = k_all[layer].reshape(N, T_max, heads, dh)
+    vh = v_all[layer].reshape(N, T_max, heads, dh)
     scores = jnp.einsum("nhd,nthd->nht", qh, kh).astype(jnp.float32)
     scores = scores / math.sqrt(dh)
     valid = jnp.arange(T_max)[None, None, :] <= t
     scores = jnp.where(valid, scores, NEG_INF)
     w = jax.nn.softmax(scores, axis=-1)
     ctx = jnp.einsum("nht,nthd->nhd", w.astype(vh.dtype), vh).reshape(N, D)
-    return apply_linear(p["wo"], ctx), k_cache, v_cache
+    return apply_linear(p["wo"], ctx), k_all, v_all
+
+
+def _cached_self_attn_beam(
+    p: dict,
+    x: Array,            # (B·K, D) pre-LN'd activations, beam-major rows
+    k_all: Array,        # (n_blocks, B·K, T_max, D) PHYSICAL-slot caches
+    v_all: Array,
+    layer: int,
+    anc: Array,          # (B, K, T_max) int32 ancestry (col t = identity)
+    t: Array,
+    heads: int,
+    num_beams: int,
+) -> Tuple[Array, Array, Array]:
+    """Ancestry-indexed one-query self-attention for beam search.
+
+    Physical cache rows are NEVER rebeamed: row (b, j) column τ holds the
+    K/V written by whatever beam occupied slot j at step τ, and columns
+    are write-once (τ strictly increases), so history is immutable.
+    ``anc[b, k, τ]`` names the physical slot holding the CURRENT beam k's
+    prefix entry at position τ. Scores are computed against all K physical
+    rows — a K× expansion of the tiny (B, K, h, T) score tensor — and
+    selected with the one-hot ancestry, exactly equal to attending over a
+    physically-rebeamed cache (selection picks the same dot products;
+    the extra terms are multiplied by 0.0). Net effect per step: both big
+    cache tensors are read once and written one row, where physical
+    rebeaming (families.py rebeam) read them twice and rewrote them fully
+    — the dominant HBM cost of the transformer beam step at B=256
+    (86 ms/batch before this path; docs/PERFORMANCE.md round 3).
+    """
+    _, N, T_max, D = k_all.shape
+    K = num_beams
+    B = N // K
+    dh = D // heads
+    q = apply_linear(p["wq"], x)
+    k_t = apply_linear(p["wk"], x)
+    v_t = apply_linear(p["wv"], x)
+    k_all = jax.lax.dynamic_update_slice(
+        k_all, k_t[None, :, None, :], (layer, 0, t, 0))
+    v_all = jax.lax.dynamic_update_slice(
+        v_all, v_t[None, :, None, :], (layer, 0, t, 0))
+
+    qh = q.reshape(B, K, heads, dh)
+    kh = k_all[layer].reshape(B, K, T_max, heads, dh)  # j = physical slot
+    vh = v_all[layer].reshape(B, K, T_max, heads, dh)
+    scores_all = jnp.einsum("bkhd,bjthd->bkhjt", qh, kh).astype(jnp.float32)
+    scores_all = scores_all / math.sqrt(dh)
+    onehot = (
+        anc[:, :, :, None]
+        == jnp.arange(K, dtype=jnp.int32)[None, None, None, :]
+    )  # (B, K, T, j)
+    scores = jnp.einsum(
+        "bkhjt,bktj->bkht", scores_all, onehot.astype(jnp.float32)
+    )
+    valid = jnp.arange(T_max)[None, None, None, :] <= t
+    scores = jnp.where(valid, scores, NEG_INF)
+    w = jax.nn.softmax(scores, axis=-1)  # (B, K, h, T)
+    w_phys = jnp.einsum("bkht,bktj->bkhtj", w, onehot.astype(jnp.float32))
+    ctx = jnp.einsum(
+        "bkhtj,bjthd->bkhd", w_phys.astype(vh.dtype), vh
+    ).reshape(N, D)
+    return apply_linear(p["wo"], ctx), k_all, v_all
 
 
 def _cross_attn_step(
@@ -509,14 +583,12 @@ def decode_step_core(
     pos = jax.lax.dynamic_slice_in_dim(params["pos_embedding"], t, 1, axis=0)
     x = emb.astype(dtype) + pos.astype(dtype)  # (N, D)
 
-    new_k, new_v, cross_w = [], [], None
+    k_all, v_all, cross_w = state["k"], state["v"], None
     for i, blk in enumerate(params["blocks"]):
-        h, k_c, v_c = _cached_self_attn(
+        h, k_all, v_all = _cached_self_attn(
             blk["self_attn"], _apply_layer_norm(blk["ln1"], x),
-            state["k"][i], state["v"][i], t, heads,
+            k_all, v_all, i, t, heads,
         )
-        new_k.append(k_c)
-        new_v.append(v_c)
         x = x + h
         if cp_axis is not None:
             h, cross_w = _cross_attn_step_cp(
@@ -533,7 +605,8 @@ def decode_step_core(
         x = x + _mlp(blk["mlp"], _apply_layer_norm(blk["ln3"], x))
 
     x = _apply_layer_norm(params["ln_f"], x)
-    return x, {"k": jnp.stack(new_k), "v": jnp.stack(new_v)}, cross_w
+    new_state = dict(state, k=k_all, v=v_all)
+    return x, new_state, cross_w
 
 
 def decode_step(
@@ -551,4 +624,89 @@ def decode_step(
         params, config, token_ids, state, t, cross_kv, encoder_mask
     )
     logits = apply_linear(params["output_projection"], x)  # (N, V)
+    return logits, new_state, cross_w
+
+
+def init_beam_ancestry(batch: int, num_beams: int, max_positions: int) -> Array:
+    """Initial (B, K, T) ancestry for the lazy-rebeam beam state. Values
+    for columns > 0 are placeholders — ``decode_step_beam_core`` overwrites
+    column t with the identity before each step's attention, and the
+    rebeam compose in families.py only propagates columns ≤ t."""
+    return jnp.zeros((batch, num_beams, max_positions), jnp.int32)
+
+
+def decode_step_beam_core(
+    params: dict,
+    config: Config,
+    token_ids: Array,               # (B·K,) int32, beam-major rows
+    state: Dict[str, Array],        # {"k", "v", "anc"} — lazy-rebeam state
+    t: Array,                       # scalar int32 position
+    cross_kv: Dict[str, Array],     # (n_blocks, B, S, D) each
+    encoder_mask: Optional[Array],  # (B, S)
+) -> Tuple[Array, Dict[str, Array], Array]:
+    """Beam decode step with LAZY cache rebeaming (see
+    ``_cached_self_attn_beam``): the carried caches stay physical-slot
+    indexed; ``state["anc"]`` is the only tensor families.py rebeams.
+    Per-step math is identical to :func:`decode_step_core` over a
+    physically-rebeamed cache (gated in tests/test_transformer.py).
+    """
+    m = config.model
+    heads = m.transformer_num_heads
+    cp_axis = config.parallel.context_axis
+    dtype = state["k"].dtype
+    B, K, _ = state["anc"].shape
+
+    emb = jnp.take(params["embedding"]["table"], token_ids, axis=0)
+    pos = jax.lax.dynamic_slice_in_dim(params["pos_embedding"], t, 1, axis=0)
+    x = emb.astype(dtype) + pos.astype(dtype)  # (B·K, D)
+
+    # The K/V rows written this step land in the writer's own slot.
+    anc = jax.lax.dynamic_update_slice_in_dim(
+        state["anc"],
+        jnp.broadcast_to(
+            jnp.arange(K, dtype=jnp.int32)[None, :, None], (B, K, 1)
+        ),
+        t, axis=2,
+    )
+
+    k_all, v_all, cross_w = state["k"], state["v"], None
+    for i, blk in enumerate(params["blocks"]):
+        h, k_all, v_all = _cached_self_attn_beam(
+            blk["self_attn"], _apply_layer_norm(blk["ln1"], x),
+            k_all, v_all, i, anc, t, heads, K,
+        )
+        x = x + h
+        if cp_axis is not None:
+            h, cross_w = _cross_attn_step_cp(
+                blk["cross_attn"], _apply_layer_norm(blk["ln2"], x),
+                cross_kv["k"][i], cross_kv["v"][i], encoder_mask, heads,
+                cp_axis,
+            )
+        else:
+            h, cross_w = _cross_attn_step(
+                blk["cross_attn"], _apply_layer_norm(blk["ln2"], x),
+                cross_kv["k"][i], cross_kv["v"][i], encoder_mask, heads,
+            )
+        x = x + h
+        x = x + _mlp(blk["mlp"], _apply_layer_norm(blk["ln3"], x))
+
+    x = _apply_layer_norm(params["ln_f"], x)
+    return x, {"k": k_all, "v": v_all, "anc": anc}, cross_w
+
+
+def decode_step_beam(
+    params: dict,
+    config: Config,
+    token_ids: Array,
+    state: Dict[str, Array],
+    t: Array,
+    cross_kv: Dict[str, Array],
+    encoder_mask: Optional[Array],
+) -> Tuple[Array, Dict[str, Array], Array]:
+    """Lazy-rebeam beam step → (logits (B·K, V), new_state, cross-attn
+    weights (B·K, S)). See decode_step_beam_core."""
+    x, new_state, cross_w = decode_step_beam_core(
+        params, config, token_ids, state, t, cross_kv, encoder_mask
+    )
+    logits = apply_linear(params["output_projection"], x)
     return logits, new_state, cross_w
