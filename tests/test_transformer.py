@@ -272,6 +272,74 @@ def test_lazy_rebeam_matches_physical_rebeam(tr_config):
         )
 
 
+def test_cache_bf16_lazy_matches_physical(tr_config):
+    """With bf16 cache storage (kernels.transformer_cache_bf16) the lazy
+    ancestry rebeam and the physical cache-gather rebeam must STILL be
+    bit-identical to each other: both store the same bf16-rounded K/V rows
+    and compute the same bf16-operand/fp32-accumulate dots; gathering
+    rounds nothing."""
+    params, feats, enc_outs, final, mask = _setup(tr_config, B=3, key=5)
+    tr_config.kernels.transformer_cache_bf16 = True
+    try:
+        tr_config.kernels.transformer_lazy_rebeam = True
+        lazy = beam_search_generate(
+            params, tr_config, enc_outs, final, START, END, 6, mask,
+            beam_size=4, length_penalty=1.0,
+        )
+        tr_config.kernels.transformer_lazy_rebeam = False
+        phys = beam_search_generate(
+            params, tr_config, enc_outs, final, START, END, 6, mask,
+            beam_size=4, length_penalty=1.0,
+        )
+    finally:
+        tr_config.kernels.transformer_cache_bf16 = False
+        tr_config.kernels.transformer_lazy_rebeam = True
+    np.testing.assert_array_equal(
+        np.asarray(lazy["generated_tokens"]),
+        np.asarray(phys["generated_tokens"]),
+    )
+    np.testing.assert_allclose(
+        np.asarray(lazy["all_scores"]), np.asarray(phys["all_scores"]),
+        rtol=0, atol=1e-5,
+    )
+
+
+def test_cache_bf16_token_agreement(tr_config):
+    """bf16 cache storage only rounds the STORED K/V (the dots already run
+    on bf16 operands under DEFAULT TPU precision); at this scale and seed
+    the greedy and beam tokens must agree with fp32 cache storage, and the
+    scores must be close. (Token identity is not contractual for the flag
+    — this pins the fixed-seed behavior so a regression that silently
+    widens the divergence trips.)"""
+    params, feats, enc_outs, final, mask = _setup(tr_config, B=4, key=7)
+    outs = {}
+    for flag in (False, True):
+        tr_config.kernels.transformer_cache_bf16 = flag
+        try:
+            g = greedy_generate(
+                params, tr_config, enc_outs, final, START, END, 8, mask)
+            b = beam_search_generate(
+                params, tr_config, enc_outs, final, START, END, 8, mask,
+                beam_size=3, length_penalty=1.0,
+            )
+        finally:
+            tr_config.kernels.transformer_cache_bf16 = False
+        outs[flag] = (g, b)
+    np.testing.assert_array_equal(
+        np.asarray(outs[False][0]["generated_tokens"]),
+        np.asarray(outs[True][0]["generated_tokens"]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(outs[False][1]["generated_tokens"]),
+        np.asarray(outs[True][1]["generated_tokens"]),
+    )
+    np.testing.assert_allclose(
+        np.asarray(outs[False][1]["all_scores"]),
+        np.asarray(outs[True][1]["all_scores"]),
+        rtol=0, atol=0.02,
+    )
+
+
 def test_beam_fused_vocab_topk_path_transformer(tr_config):
     """The fused vocab-projection+top-k Pallas path (taken on TPU) must be
     token-identical to the XLA path for the transformer family too — its

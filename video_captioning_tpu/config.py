@@ -249,6 +249,17 @@ class KernelConfig:
     # one row per step. Token/score-identical to physical rebeaming
     # (gated in tests/test_transformer.py); pure-XLA, no kernel.
     transformer_lazy_rebeam: bool = True
+    # Store the transformer decode self-attention KV caches in bfloat16
+    # while the residual stream / scores / softmax stay in the state dtype
+    # (fp32 by default). The attention dots already run on bf16 operand
+    # copies under XLA's DEFAULT precision, so fp32 cache STORAGE buys no
+    # matmul precision — only 2x the dominant per-step HBM read plus a
+    # per-step fp32→bf16 conversion copy of both (n_blocks, B·K, T, D)
+    # tensors (profiled, docs/PERFORMANCE.md round 3). The only numeric
+    # change is the stored K/V rounding to bf16; token agreement is gated
+    # in tests/test_transformer.py. Off by default: fp32 caches keep
+    # decode bit-identical to the parallel teacher-forcing oracle.
+    transformer_cache_bf16: bool = False
 
 
 @dataclass

@@ -171,8 +171,17 @@ def _transformer_family(
         cross_kv = jax.tree_util.tree_map(
             lambda x: x.astype(jnp.float32), cross_kv
         )
+    # Narrow cache storage (kernels.transformer_cache_bf16): the caches —
+    # the dominant per-step HBM read of the beam loop — are stored bf16
+    # while the residual stream keeps state_dtype. The decode steps read
+    # the activation dtype from cross_kv, so only init_decode_state needs
+    # the cache dtype.
+    cache_dtype = (
+        jnp.bfloat16 if config.kernels.transformer_cache_bf16 else None
+    )
     state0 = tr.init_decode_state(
-        dec, config, B * K, state_dtype, max_positions=max_length
+        dec, config, B * K, state_dtype, max_positions=max_length,
+        cache_dtype=cache_dtype,
     )
     # Lazy (ancestry) rebeam: caches stay physical-slot indexed, the
     # per-step rebeam touches only a (B, K, T) int32 carry, and the beam

@@ -352,14 +352,22 @@ def precompute_cross_kv(
 
 def init_decode_state(
     params: dict, config: Config, batch: int, dtype,
-    max_positions: Optional[int] = None,
+    max_positions: Optional[int] = None, cache_dtype=None,
 ) -> Dict[str, Array]:
     """Empty self-attention KV caches: (n_blocks, batch, T_max, D).
 
     ``max_positions`` sizes the caches for a caller-requested decode length
     beyond the config default (positions past the learned-position table
     reuse its last row — dynamic_slice clamps the index — which degrades
-    long tails; a warning is logged, the LSTM family stays exact there)."""
+    long tails; a warning is logged, the LSTM family stays exact there).
+
+    ``cache_dtype`` (default: ``dtype``) stores the caches narrower than
+    the activation dtype — bf16 caches halve the dominant per-step HBM
+    read of the beam loop AND remove the fp32→bf16 conversion copies XLA
+    otherwise materializes every step for the attention dots (profiled:
+    the dots run on bf16 operand copies under DEFAULT precision either
+    way, so storage precision beyond bf16 buys only rounding of the
+    stored K/V, not of the matmul; see kernels.transformer_cache_bf16)."""
     n_blocks = len(params["blocks"])
     T = config.model.max_sequence_length + 1
     if max_positions is not None:
@@ -374,9 +382,10 @@ def init_decode_state(
             T, pos_rows, pos_rows,
         )
     D = config.model.decoder_hidden_dim
+    cdt = dtype if cache_dtype is None else cache_dtype
     return {
-        "k": jnp.zeros((n_blocks, batch, T, D), dtype),
-        "v": jnp.zeros((n_blocks, batch, T, D), dtype),
+        "k": jnp.zeros((n_blocks, batch, T, D), cdt),
+        "v": jnp.zeros((n_blocks, batch, T, D), cdt),
     }
 
 
@@ -396,23 +405,37 @@ def _cached_self_attn(
     """
     _, N, T_max, D = k_all.shape
     dh = D // heads
+    cdt = k_all.dtype
     q = apply_linear(p["wq"], x)                       # (N, D)
     k_t = apply_linear(p["wk"], x)
     v_t = apply_linear(p["wv"], x)
     k_all = jax.lax.dynamic_update_slice(
-        k_all, k_t[None, :, None, :], (layer, 0, t, 0))
+        k_all, k_t.astype(cdt)[None, :, None, :], (layer, 0, t, 0))
     v_all = jax.lax.dynamic_update_slice(
-        v_all, v_t[None, :, None, :], (layer, 0, t, 0))
+        v_all, v_t.astype(cdt)[None, :, None, :], (layer, 0, t, 0))
 
     qh = q.reshape(N, heads, dh)
     kh = k_all[layer].reshape(N, T_max, heads, dh)
     vh = v_all[layer].reshape(N, T_max, heads, dh)
-    scores = jnp.einsum("nhd,nthd->nht", qh, kh).astype(jnp.float32)
+    if cdt != q.dtype:
+        # Narrow cache storage (kernels.transformer_cache_bf16): cast the
+        # query to the cache dtype for the dot (the MXU would truncate
+        # the operands to bf16 under DEFAULT precision anyway) and keep
+        # fp32 accumulation explicitly.
+        scores = jnp.einsum("nhd,nthd->nht", qh.astype(cdt), kh,
+                            preferred_element_type=jnp.float32)
+    else:
+        scores = jnp.einsum("nhd,nthd->nht", qh, kh).astype(jnp.float32)
     scores = scores / math.sqrt(dh)
     valid = jnp.arange(T_max)[None, None, :] <= t
     scores = jnp.where(valid, scores, NEG_INF)
     w = jax.nn.softmax(scores, axis=-1)
-    ctx = jnp.einsum("nht,nthd->nhd", w.astype(vh.dtype), vh).reshape(N, D)
+    if cdt != q.dtype:
+        ctx = jnp.einsum("nht,nthd->nhd", w.astype(cdt), vh,
+                         preferred_element_type=x.dtype).reshape(N, D)
+    else:
+        ctx = jnp.einsum(
+            "nht,nthd->nhd", w.astype(vh.dtype), vh).reshape(N, D)
     return apply_linear(p["wo"], ctx), k_all, v_all
 
 
@@ -447,18 +470,26 @@ def _cached_self_attn_beam(
     K = num_beams
     B = N // K
     dh = D // heads
+    cdt = k_all.dtype
     q = apply_linear(p["wq"], x)
     k_t = apply_linear(p["wk"], x)
     v_t = apply_linear(p["wv"], x)
     k_all = jax.lax.dynamic_update_slice(
-        k_all, k_t[None, :, None, :], (layer, 0, t, 0))
+        k_all, k_t.astype(cdt)[None, :, None, :], (layer, 0, t, 0))
     v_all = jax.lax.dynamic_update_slice(
-        v_all, v_t[None, :, None, :], (layer, 0, t, 0))
+        v_all, v_t.astype(cdt)[None, :, None, :], (layer, 0, t, 0))
 
     qh = q.reshape(B, K, heads, dh)
     kh = k_all[layer].reshape(B, K, T_max, heads, dh)  # j = physical slot
     vh = v_all[layer].reshape(B, K, T_max, heads, dh)
-    scores_all = jnp.einsum("bkhd,bjthd->bkhjt", qh, kh).astype(jnp.float32)
+    if cdt != q.dtype:
+        # Narrow cache storage (see _cached_self_attn): bf16 operands,
+        # explicit fp32 accumulation.
+        scores_all = jnp.einsum("bkhd,bjthd->bkhjt", qh.astype(cdt), kh,
+                                preferred_element_type=jnp.float32)
+    else:
+        scores_all = jnp.einsum(
+            "bkhd,bjthd->bkhjt", qh, kh).astype(jnp.float32)
     scores_all = scores_all / math.sqrt(dh)
     onehot = (
         anc[:, :, :, None]
@@ -471,9 +502,15 @@ def _cached_self_attn_beam(
     scores = jnp.where(valid, scores, NEG_INF)
     w = jax.nn.softmax(scores, axis=-1)  # (B, K, h, T)
     w_phys = jnp.einsum("bkht,bktj->bkhtj", w, onehot.astype(jnp.float32))
-    ctx = jnp.einsum(
-        "bkhtj,bjthd->bkhd", w_phys.astype(vh.dtype), vh
-    ).reshape(N, D)
+    if cdt != q.dtype:
+        ctx = jnp.einsum(
+            "bkhtj,bjthd->bkhd", w_phys.astype(cdt), vh,
+            preferred_element_type=x.dtype,
+        ).reshape(N, D)
+    else:
+        ctx = jnp.einsum(
+            "bkhtj,bjthd->bkhd", w_phys.astype(vh.dtype), vh
+        ).reshape(N, D)
     return apply_linear(p["wo"], ctx), k_all, v_all
 
 
@@ -577,7 +614,10 @@ def decode_step_core(
     m = config.model
     heads = m.transformer_num_heads
     cp_axis = config.parallel.context_axis
-    dtype = state["k"].dtype
+    # Activation dtype follows the cross-attention K/V (set by the family
+    # adapter), NOT the cache dtype: with transformer_cache_bf16 the
+    # caches are stored narrower than the residual stream.
+    dtype = cross_kv["k"].dtype
 
     emb = jnp.take(params["embedding"]["table"], token_ids, axis=0)
     pos = jax.lax.dynamic_slice_in_dim(params["pos_embedding"], t, 1, axis=0)
@@ -653,7 +693,7 @@ def decode_step_beam_core(
     m = config.model
     heads = m.transformer_num_heads
     cp_axis = config.parallel.context_axis
-    dtype = state["k"].dtype
+    dtype = cross_kv["k"].dtype  # activation dtype; see decode_step_core
     B, K, _ = state["anc"].shape
 
     emb = jnp.take(params["embedding"]["table"], token_ids, axis=0)
