@@ -102,7 +102,7 @@ def main():
         out[method] = {
             "multiref_bleu_4": round(multi["bleu_4"], 4),
             "multiref_meteor": round(multi.get("meteor", 0.0), 4),
-            "multiref_rouge_l": round(multi.get("rouge_l", 0.0), 4),
+            "multiref_rouge_l": round(multi.get("rougeL", 0.0), 4),
             "singleref_bleu_4": round(single["bleu_4"], 4),
             "exact_match_any": round(exact_any, 4),
         }
