@@ -173,6 +173,105 @@ def test_greedy_and_transformer_family(tmp_path):
     assert aot.manifest["model_config"]["model"]["architecture"] == "transformer"
 
 
+def test_list_input_resamples_like_live_predictor(exported_beam):
+    """Server-shaped input: a list of ragged (frames_i, F) clips goes
+    through the same uniform-sample/zero-pad as the live predictor."""
+    _, _, cfg, live, aot = exported_beam
+    rs = np.random.RandomState(31)
+    clips = [
+        rs.randn(n, cfg.model.cnn_feature_dim).astype(np.float32)
+        for n in (7, 10, 15)  # shorter / exact / longer than T=10
+    ]
+    live_results = live.predict_batch(
+        clips, method="beam", max_length=8, beam_size=3
+    )
+    aot_results = aot.predict_batch(
+        clips, method="beam", max_length=8, beam_size=3
+    )
+    assert [r["tokens"] for r in aot_results] == [
+        r["tokens"] for r in live_results
+    ]
+    with pytest.raises(ValueError, match="clip 0"):
+        aot.predict_batch([rs.randn(7, 5).astype(np.float32)])
+
+
+def test_validate_options_rejects_unbaked(exported_beam):
+    _, _, _, _, aot = exported_beam
+    aot.validate_options({})  # no options: always the baked program
+    aot.validate_options(dict(aot.generation_defaults))
+    with pytest.raises(ValueError, match="method"):
+        aot.validate_options({"method": "greedy"})
+    with pytest.raises(ValueError, match="beam_size=3"):
+        aot.validate_options({"beam_size": 5})
+    with pytest.raises(ValueError, match="max_length=8"):
+        aot.validate_options({"max_length": 12})
+    with pytest.raises(ValueError, match="temperature"):
+        aot.validate_options({"temperature": 0.7})
+
+
+def test_serve_artifact_over_http(exported_beam):
+    """CaptionServer over an ExportedPredictor: option-less requests serve
+    the baked program, conflicting options 400 at parse time, and tokens
+    match the live predictor end to end."""
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    from video_captioning_tpu.inference.server import CaptionServer
+
+    _, _, cfg, live, aot = exported_beam
+    server = CaptionServer(aot, port=0, max_batch=8, max_wait_ms=5.0)
+    server.start()
+    try:
+        feats = np.random.RandomState(37).randn(
+            6, cfg.model.cnn_feature_dim
+        ).astype(np.float32)
+
+        def post(path, payload):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{server.port}{path}",
+                data=_json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=60) as resp:
+                return _json.loads(resp.read())
+
+        direct = live.predict_batch(
+            [feats], method="beam", max_length=8, beam_size=3
+        )[0]
+        # No options -> the artifact's baked settings, not module defaults.
+        res = post("/caption", {"features": feats.tolist()})
+        assert res["tokens"] == direct["tokens"]
+        assert res["caption"] == direct["caption"]
+        assert res["method"] == "beam"
+        # Matching explicit options are accepted.
+        res = post("/caption", {"features": feats.tolist(), "method": "beam",
+                                "beam_size": 3, "max_length": 8})
+        assert res["tokens"] == direct["tokens"]
+        # Batch endpoint.
+        res = post("/caption_batch",
+                   {"items": [{"features": feats.tolist()}] * 2})
+        assert [r["tokens"] for r in res["results"]] == [direct["tokens"]] * 2
+        # Conflicting options are a client error (400), not a batch fault.
+        with pytest.raises(urllib.error.HTTPError) as err:
+            post("/caption", {"features": feats.tolist(), "beam_size": 5})
+        assert err.value.code == 400
+        assert "beam_size=3" in _json.loads(err.value.read())["error"]
+    finally:
+        server.close()
+
+
+def test_serve_cli_rejects_conflicting_vcx_flags():
+    """.vcx programs are single-device with baked dtype; the serve CLI
+    refuses the flags it cannot honor instead of silently ignoring them."""
+    from video_captioning_tpu.cli.serve import main as serve_main
+
+    with pytest.raises(SystemExit, match="data-parallel"):
+        serve_main(["--model-path", "m.vcx", "--data-parallel"])
+    with pytest.raises(SystemExit, match="compute-dtype|baked"):
+        serve_main(["--model-path", "m.vcx", "--compute-dtype", "bfloat16"])
+
+
 def test_cli_roundtrip(tmp_path, capsys):
     from video_captioning_tpu.cli.export import main as export_main
     from video_captioning_tpu.inference import ExportedPredictor

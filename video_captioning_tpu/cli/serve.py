@@ -10,6 +10,11 @@ predictor; see inference/server.py for the batching design):
 
 ``--data-parallel`` builds a (n_devices, 1) ``(data, model)`` mesh and
 shards every device batch over all visible chips (predictor ``mesh=``).
+
+``--model-path`` also accepts a ``.vcx`` AOT artifact (cli/export.py):
+the server then runs the shipped StableHLO programs directly — no model
+code or trace step on the serving host. Request options default to the
+artifact's baked settings; conflicting options are rejected with 400.
 """
 
 from __future__ import annotations
@@ -26,7 +31,9 @@ logger = logging.getLogger(__name__)
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(
         description="HTTP captioning server with dynamic batching")
-    parser.add_argument("--model-path", type=str, required=True)
+    parser.add_argument("--model-path", type=str, required=True,
+                        help="Inference package (.pth) or AOT artifact "
+                             "(.vcx, from the export CLI)")
     parser.add_argument("--host", type=str, default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8080)
     parser.add_argument("--max-batch", type=int, default=64,
@@ -54,7 +61,33 @@ def main(argv=None) -> None:
         jax.config.update("jax_platforms", args.device)
 
     from ..inference.predictor import VideoCaptionPredictor
-    from ..inference.server import CaptionServer
+
+    model_path = Path(args.model_path)
+    if model_path.suffix == ".vcx":
+        # AOT serving artifact (cli/export.py): generation options and
+        # compute dtype are baked into the compiled programs, and the
+        # programs are single-device — the conflicting flags are errors,
+        # not silent ignores.
+        if args.data_parallel:
+            raise SystemExit(
+                "--data-parallel is not supported with .vcx artifacts "
+                "(exported programs are single-device; run one server per "
+                "chip behind a load balancer — see docs/DEPLOYMENT.md)"
+            )
+        if args.compute_dtype:
+            raise SystemExit(
+                "--compute-dtype is baked into a .vcx artifact at export "
+                "time (re-export with --compute-dtype to change it)"
+            )
+        from ..inference.export import ExportedPredictor
+
+        predictor = ExportedPredictor(model_path)
+        logger.info(
+            "serving AOT artifact %s (method=%s, buckets=%s)",
+            model_path, predictor.method, predictor.batch_sizes,
+        )
+        _serve(predictor, args)
+        return
 
     mesh = None
     if args.data_parallel:
@@ -67,11 +100,17 @@ def main(argv=None) -> None:
         logger.info(f"data-parallel serving over {len(devices)} devices")
 
     predictor = VideoCaptionPredictor(
-        Path(args.model_path),
+        model_path,
         compute_dtype=args.compute_dtype,
         compilation_cache_dir=args.compilation_cache_dir,
         mesh=mesh,
     )
+    _serve(predictor, args)
+
+
+def _serve(predictor, args) -> None:
+    from ..inference.server import CaptionServer
+
     server = CaptionServer(
         predictor, host=args.host, port=args.port,
         max_batch=args.max_batch, max_wait_ms=args.max_wait_ms,

@@ -209,6 +209,54 @@ class ExportedPredictor:
         self._special = {sp["pad_idx"], sp["start_idx"], sp["end_idx"]}
         self._fns: Dict[int, object] = {}
 
+    # ----------------------------------------------------- server surface
+
+    @property
+    def feature_dim(self) -> int:
+        """Per-frame feature width — lets ``CaptionServer`` validate request
+        shapes without a ``config`` object on the serving host."""
+        return int(self.manifest["feature_shape"][1])
+
+    @property
+    def generation_defaults(self) -> Dict[str, object]:
+        """The baked generation options. ``CaptionServer`` merges these as
+        the request defaults so an option-less request always matches the
+        compiled program (the live predictor retraces for new options; an
+        AOT artifact cannot)."""
+        m = self.manifest
+        return {
+            "method": m["method"],
+            "max_length": m["max_length"],
+            "beam_size": m["beam_size"],
+            "length_penalty": m["length_penalty"],
+            "temperature": 1.0,
+        }
+
+    def validate_options(self, options: Dict[str, object]) -> None:
+        """Reject options the baked program cannot honor (ValueError — the
+        server maps it to HTTP 400 at parse time, before batching)."""
+        baked = self.generation_defaults
+        method = options.get("method", baked["method"])
+        if method != baked["method"]:
+            raise ValueError(
+                f"artifact was exported with method={baked['method']!r}; "
+                f"cannot serve method={method!r} (re-export to change it)"
+            )
+        relevant = ["max_length"]
+        if method == "beam":
+            relevant += ["beam_size", "length_penalty"]
+        for key in relevant:
+            if key in options and float(options[key]) != float(baked[key]):
+                raise ValueError(
+                    f"artifact was exported with {key}={baked[key]}; cannot "
+                    f"serve {key}={options[key]} (re-export to change it)"
+                )
+        if "temperature" in options and float(options["temperature"]) != 1.0:
+            raise ValueError(
+                "exported programs are deterministic (beam/greedy); "
+                "temperature is not supported"
+            )
+
     # ------------------------------------------------------------ loading
 
     def _fn(self, bucket: int):
@@ -252,16 +300,40 @@ class ExportedPredictor:
             words.append(self._idx2word[t])
         return " ".join(words)
 
-    def predict_batch(self, features: np.ndarray) -> List[Dict[str, object]]:
-        """features: (B, T, F) resampled clip features. Returns one record
-        per clip: caption text, token ids, and (beam) the top-K scores."""
+    def predict_batch(
+        self, features, **options
+    ) -> List[Dict[str, object]]:
+        """features: (B, T, F) resampled clip features, or a list of
+        per-clip (frames_i, F) arrays (the live predictor's / server's
+        shape — each clip is uniform-sampled / zero-padded to T exactly as
+        ``VideoCaptionPredictor._prepare_features`` does). Keyword options
+        are accepted for live-predictor call compatibility but must match
+        the baked program (``validate_options``). Returns one record per
+        clip: caption text, token ids, and (beam) the top-K scores."""
         import numpy as _np
+
+        if options:
+            self.validate_options(options)
+        T, F = self.manifest["feature_shape"]
+        if isinstance(features, (list, tuple)):
+            from .utils import resize_feature_sequence
+
+            prepared = []
+            for i, clip in enumerate(features):
+                clip = _np.asarray(clip, _np.float32)
+                if clip.ndim != 2 or clip.shape[1] != F:
+                    raise ValueError(
+                        f"clip {i}: expected (frames, {F}) features, got "
+                        f"shape {clip.shape}"
+                    )
+                prepared.append(resize_feature_sequence(clip, T))
+            features = _np.stack(prepared) if prepared else \
+                _np.zeros((0, T, F), _np.float32)
 
         dtype = self.manifest["compute_dtype"]
         feats = _np.asarray(features, _np.float32)
         if feats.ndim != 3:
             raise ValueError(f"expected (B, T, F) features, got {feats.shape}")
-        T, F = self.manifest["feature_shape"]
         if list(feats.shape[1:]) != [T, F]:
             raise ValueError(
                 f"expected features shaped (B, {T}, {F}), got {feats.shape}"

@@ -62,10 +62,12 @@ class DynamicBatcher:
     """Coalesces concurrent caption requests into device batches."""
 
     def __init__(self, predictor, max_batch: int = 64,
-                 max_wait_ms: float = 5.0):
+                 max_wait_ms: float = 5.0,
+                 defaults: Optional[Dict] = None):
         self.predictor = predictor
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1000.0
+        self.defaults = dict(_DEFAULTS if defaults is None else defaults)
         self.queue: "queue.Queue[_Pending]" = queue.Queue()
         self.stats = {"requests": 0, "batches": 0, "batched_items": 0}
         self._stop = threading.Event()
@@ -73,7 +75,7 @@ class DynamicBatcher:
         self._thread.start()
 
     def submit(self, features: np.ndarray, options: Dict) -> _Pending:
-        opts = tuple(sorted({**_DEFAULTS, **options}.items()))
+        opts = tuple(sorted({**self.defaults, **options}.items()))
         item = _Pending(features=features, options=opts)
         self.stats["requests"] += 1
         self.queue.put(item)
@@ -137,9 +139,19 @@ class CaptionServer:
     def __init__(self, predictor, host: str = "127.0.0.1", port: int = 0,
                  max_batch: int = 64, max_wait_ms: float = 5.0,
                  request_timeout_s: float = 120.0):
-        self.batcher = DynamicBatcher(predictor, max_batch, max_wait_ms)
+        # Duck-typed predictor surface: a live VideoCaptionPredictor or an
+        # ExportedPredictor (.vcx AOT artifact). The exported kind supplies
+        # its own request defaults (its options are baked into the compiled
+        # program) and a validate_options hook (mismatches -> HTTP 400).
+        defaults = getattr(predictor, "generation_defaults", None)
+        self.batcher = DynamicBatcher(
+            predictor, max_batch, max_wait_ms, defaults=defaults
+        )
         self.request_timeout_s = request_timeout_s
-        self.feature_dim = int(predictor.config.model.cnn_feature_dim)
+        fd = getattr(predictor, "feature_dim", None)
+        self.feature_dim = int(
+            fd if fd is not None else predictor.config.model.cnn_feature_dim
+        )
         server = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -215,12 +227,16 @@ class CaptionServer:
             raise ValueError("features must contain at least one frame")
         return feats
 
-    @staticmethod
-    def _parse_options(payload: dict) -> dict:
+    def _parse_options(self, payload: dict) -> dict:
         opts = {k: payload[k] for k in _GEN_KEYS if k in payload}
         if "method" in opts and opts["method"] not in ("greedy", "beam",
                                                        "sample"):
             raise ValueError(f"unknown method: {opts['method']}")
+        # Exported predictors bake their options into the compiled program;
+        # reject mismatches HERE (400) rather than as a 500 batch fault.
+        validate = getattr(self.batcher.predictor, "validate_options", None)
+        if validate is not None:
+            validate(opts)
         return opts
 
     def _await(self, item: _Pending) -> dict:
