@@ -207,6 +207,14 @@ def test_validate_options_rejects_unbaked(exported_beam):
         aot.validate_options({"max_length": 12})
     with pytest.raises(ValueError, match="temperature"):
         aot.validate_options({"temperature": 0.7})
+    # Malformed values are client errors (ValueError → HTTP 400), never
+    # TypeError → 500 (ADVICE round-3).
+    with pytest.raises(ValueError, match="not a number"):
+        aot.validate_options({"max_length": None})
+    with pytest.raises(ValueError, match="not a number"):
+        aot.validate_options({"beam_size": [3]})
+    with pytest.raises(ValueError, match="not a number"):
+        aot.validate_options({"temperature": "hot"})
 
 
 def test_serve_artifact_over_http(exported_beam):
@@ -261,15 +269,31 @@ def test_serve_artifact_over_http(exported_beam):
         server.close()
 
 
-def test_serve_cli_rejects_conflicting_vcx_flags():
+def test_serve_cli_rejects_conflicting_vcx_flags(tmp_path, monkeypatch):
     """.vcx programs are single-device with baked dtype; the serve CLI
-    refuses the flags it cannot honor instead of silently ignoring them."""
-    from video_captioning_tpu.cli.serve import main as serve_main
+    refuses the flags it cannot honor instead of silently ignoring them —
+    but an explicit --compute-dtype MATCHING the manifest is accepted."""
+    from video_captioning_tpu.cli import serve as serve_cli
+    from video_captioning_tpu.cli.export import main as export_main
 
     with pytest.raises(SystemExit, match="data-parallel"):
-        serve_main(["--model-path", "m.vcx", "--data-parallel"])
+        serve_cli.main(["--model-path", "m.vcx", "--data-parallel"])
+
+    pkg, _cfg = _tiny_package(tmp_path)
+    out = tmp_path / "serve.vcx"
+    export_main([
+        "--model-path", str(pkg), "--output", str(out),
+        "--batch-sizes", "1", "--method", "greedy",
+        "--max-length", "4", "--platforms", "cpu",
+    ])
     with pytest.raises(SystemExit, match="compute-dtype|baked"):
-        serve_main(["--model-path", "m.vcx", "--compute-dtype", "bfloat16"])
+        serve_cli.main(["--model-path", str(out),
+                        "--compute-dtype", "bfloat16"])
+    served = {}
+    monkeypatch.setattr(serve_cli, "_serve",
+                        lambda predictor, args: served.update(p=predictor))
+    serve_cli.main(["--model-path", str(out), "--compute-dtype", "float32"])
+    assert served["p"].manifest["compute_dtype"] == "float32"
 
 
 def test_cli_roundtrip(tmp_path, capsys):

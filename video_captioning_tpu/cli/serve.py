@@ -60,34 +60,37 @@ def main(argv=None) -> None:
     if args.device:
         jax.config.update("jax_platforms", args.device)
 
-    from ..inference.predictor import VideoCaptionPredictor
-
     model_path = Path(args.model_path)
     if model_path.suffix == ".vcx":
         # AOT serving artifact (cli/export.py): generation options and
         # compute dtype are baked into the compiled programs, and the
         # programs are single-device — the conflicting flags are errors,
-        # not silent ignores.
+        # not silent ignores. Only inference.export is imported here, so
+        # an artifact-serving host really needs no model code.
         if args.data_parallel:
             raise SystemExit(
                 "--data-parallel is not supported with .vcx artifacts "
                 "(exported programs are single-device; run one server per "
                 "chip behind a load balancer — see docs/DEPLOYMENT.md)"
             )
-        if args.compute_dtype:
-            raise SystemExit(
-                "--compute-dtype is baked into a .vcx artifact at export "
-                "time (re-export with --compute-dtype to change it)"
-            )
         from ..inference.export import ExportedPredictor
 
         predictor = ExportedPredictor(model_path)
+        baked_dtype = predictor.manifest.get("compute_dtype", "float32")
+        if args.compute_dtype and args.compute_dtype != baked_dtype:
+            raise SystemExit(
+                f"--compute-dtype {args.compute_dtype} conflicts with this "
+                f"artifact's baked compute_dtype={baked_dtype} (re-export "
+                "with --compute-dtype to change it)"
+            )
         logger.info(
             "serving AOT artifact %s (method=%s, buckets=%s)",
             model_path, predictor.method, predictor.batch_sizes,
         )
         _serve(predictor, args)
         return
+
+    from ..inference.predictor import VideoCaptionPredictor
 
     mesh = None
     if args.data_parallel:

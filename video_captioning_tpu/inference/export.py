@@ -242,16 +242,28 @@ class ExportedPredictor:
                 f"artifact was exported with method={baked['method']!r}; "
                 f"cannot serve method={method!r} (re-export to change it)"
             )
+        def as_float(key, value):
+            # Malformed values (null, lists, strings) are client errors:
+            # raise ValueError so the server maps them to 400, not the
+            # TypeError→500 path.
+            try:
+                return float(value)
+            except (TypeError, ValueError):
+                raise ValueError(
+                    f"option {key}={value!r} is not a number"
+                ) from None
+
         relevant = ["max_length"]
         if method == "beam":
             relevant += ["beam_size", "length_penalty"]
         for key in relevant:
-            if key in options and float(options[key]) != float(baked[key]):
+            if key in options and as_float(key, options[key]) != float(baked[key]):
                 raise ValueError(
                     f"artifact was exported with {key}={baked[key]}; cannot "
                     f"serve {key}={options[key]} (re-export to change it)"
                 )
-        if "temperature" in options and float(options["temperature"]) != 1.0:
+        if ("temperature" in options
+                and as_float("temperature", options["temperature"]) != 1.0):
             raise ValueError(
                 "exported programs are deterministic (beam/greedy); "
                 "temperature is not supported"
