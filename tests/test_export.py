@@ -316,3 +316,153 @@ def test_cli_roundtrip(tmp_path, capsys):
     m = aot.manifest
     assert m["beam_size"] == 2 and m["platforms"] == ["cpu"]
     assert m["vocabulary"]["special_tokens"]["end_idx"] == 2
+
+
+# ---------------------------------------------------------------------------
+# Full-pipeline (frames -> CNN -> beam) export: VERDICT round-3 item 5
+# ---------------------------------------------------------------------------
+
+
+def _cnn_package(tmp, frames=4, img=48):
+    """Tiny captioner whose feature dim matches a REAL backbone (resnet50,
+    2048-d) so the CNN-inclusive export can run end to end on CPU."""
+    from video_captioning_tpu.config import Config
+    from video_captioning_tpu.data.vocabulary import Vocabulary
+    from video_captioning_tpu.models import init_model
+    from video_captioning_tpu.utils.checkpoint import CheckpointManager
+
+    cfg = Config()
+    cfg.model.cnn_feature_dim = 2048
+    cfg.model.encoder_hidden_dim = 16
+    cfg.model.decoder_hidden_dim = 16
+    cfg.model.embedding_dim = 12
+    cfg.model.attention_dim = 16
+    cfg.model.max_sequence_length = 6
+    cfg.model.video_sequence_length = frames
+    cfg.data.frames_per_video = frames
+    cfg.data.img_size = (img, img)
+    cfg.data.vocab_threshold = 1
+    cfg.validate()
+    vocab = Vocabulary(cfg)
+    vocab.build_vocabulary(
+        ["a man rides a horse", "a dog runs fast", "a cat sits still"]
+    )
+    params = init_model(jax.random.PRNGKey(9), cfg, len(vocab))
+    pkg = CheckpointManager(tmp).save_model_for_inference(params, vocab, cfg)
+    return pkg, cfg
+
+
+def _frames(cfg, n, seed=17):
+    rs = np.random.RandomState(seed)
+    h, w = cfg.data.img_size
+    return rs.randint(
+        0, 256,
+        (n, cfg.model.video_sequence_length, h, w, 3),
+    ).astype(np.uint8)
+
+
+@pytest.mark.slow
+def test_include_cnn_matches_live_cnn_path(tmp_path):
+    """predict_from_frames through the baked frames->CNN->beam program must
+    produce the same tokens as the live FeatureExtractor feeding the
+    features-only program (same weights, same normalization)."""
+    from video_captioning_tpu.inference.export import (
+        ExportedPredictor, export_serving_artifact,
+    )
+    from video_captioning_tpu.models.backbones import FeatureExtractor
+
+    pkg, cfg = _cnn_package(tmp_path)
+    out = tmp_path / "full.vcx"
+    export_serving_artifact(
+        pkg, out, batch_sizes=[2], method="beam", max_length=5,
+        beam_size=2, platforms=["cpu"], include_cnn=True,
+        allow_random_cnn_init=True, frame_batch_sizes=[2],
+    )
+    aot = ExportedPredictor(out)
+    assert aot.includes_cnn
+    assert aot.frame_shape == [cfg.model.video_sequence_length,
+                               cfg.data.img_size[0], cfg.data.img_size[1], 3]
+    assert aot.manifest["cnn"]["model_type"] == "resnet50"
+    # Features-only buckets are KEPT alongside.
+    assert aot.batch_sizes == [2]
+
+    frames = _frames(cfg, 2)
+    from_frames = aot.predict_from_frames(frames)
+
+    # Live path: same random-init backbone (seed 0 default), host extract,
+    # then the features-only program.
+    fx = FeatureExtractor("resnet50", cfg, allow_random_init=True)
+    B, T = frames.shape[:2]
+    feats = fx.extract(frames.reshape(B * T, *frames.shape[2:]))
+    feats = feats.reshape(B, T, -1)
+    from_feats = aot.predict_batch(feats)
+
+    assert [r["tokens"] for r in from_frames] == \
+        [r["tokens"] for r in from_feats]
+    assert [r["caption"] for r in from_frames] == \
+        [r["caption"] for r in from_feats]
+    # Ragged input pads to the frame bucket.
+    single = aot.predict_from_frames(frames[:1])
+    assert single[0]["tokens"] == from_frames[0]["tokens"]
+    # List-of-clips surface.
+    as_list = aot.predict_from_frames([frames[0], frames[1]])
+    assert [r["tokens"] for r in as_list] == \
+        [r["tokens"] for r in from_frames]
+
+
+@pytest.mark.slow
+def test_include_cnn_int8_variant_roundtrip(tmp_path):
+    """The quantized (vcw-int8-v1) backbone exports inside the program: the
+    203-clips/s serving pipeline ships as one sha256-gated artifact."""
+    from video_captioning_tpu.inference.export import (
+        ExportedPredictor, export_serving_artifact,
+    )
+    from video_captioning_tpu.models.backbones import FeatureExtractor
+
+    pkg, cfg = _cnn_package(tmp_path, frames=3)
+    # Calibrate once offline, persist, export FROM THE FILE (the deployment
+    # recipe: no fp32 weights or calibration batches at export time).
+    fx = FeatureExtractor("resnet50", cfg, allow_random_init=True,
+                          variant="int8")
+    calib = _frames(cfg, 2, seed=23).reshape(-1, *_frames(cfg, 1).shape[2:])
+    fx.calibrate_int8(calib)
+    int8_file = tmp_path / "resnet50_int8.npz"
+    fx.save_int8(int8_file)
+
+    out = tmp_path / "full_int8.vcx"
+    export_serving_artifact(
+        pkg, out, batch_sizes=[1], method="greedy", max_length=5,
+        platforms=["cpu"], include_cnn=True, cnn_weights_path=int8_file,
+        frame_batch_sizes=[1],
+    )
+    aot = ExportedPredictor(out)
+    assert aot.manifest["cnn"]["variant"] == "int8"
+
+    frames = _frames(cfg, 1, seed=31)
+    from_frames = aot.predict_from_frames(frames)
+
+    fx2 = FeatureExtractor("resnet50", cfg, weights_path=int8_file)
+    B, T = frames.shape[:2]
+    feats = fx2.extract(frames.reshape(B * T, *frames.shape[2:]))
+    from_feats = aot.predict_batch(feats.reshape(B, T, -1))
+    assert [r["tokens"] for r in from_frames] == \
+        [r["tokens"] for r in from_feats]
+
+
+def test_predict_from_frames_guards(tmp_path):
+    """Clear errors: frames on a features-only artifact, wrong dtype,
+    wrong shape."""
+    from video_captioning_tpu.inference.export import (
+        ExportedPredictor, export_serving_artifact,
+    )
+
+    pkg, cfg = _tiny_package(tmp_path)
+    out = tmp_path / "feat_only.vcx"
+    export_serving_artifact(pkg, out, batch_sizes=[1], method="greedy",
+                            max_length=4, platforms=["cpu"])
+    aot = ExportedPredictor(out)
+    assert not aot.includes_cnn
+    with pytest.raises(ValueError, match="include_cnn"):
+        aot.predict_from_frames(np.zeros((1, 4, 8, 8, 3), np.uint8))
+    with pytest.raises(ValueError, match="include_cnn"):
+        _ = aot.frame_shape

@@ -50,6 +50,30 @@ def build_parser() -> argparse.ArgumentParser:
                              "default: the exporting host's backend")
     parser.add_argument("--device", type=str, help="Platform override for "
                         "the exporting process (e.g. cpu)")
+    parser.add_argument("--include-cnn", action="store_true",
+                        help="Also export FULL-PIPELINE programs (uint8 "
+                             "frames -> CNN -> beam/greedy) alongside the "
+                             "features-only buckets")
+    parser.add_argument("--cnn-weights", type=str, default=None,
+                        help="Backbone weights for --include-cnn: native "
+                             ".vcw.npz, quantized vcw-int8-v1 (implies the "
+                             "int8 variant), or a torchvision state file")
+    parser.add_argument("--cnn-model-type", type=str, default=None,
+                        choices=[None, "vgg16", "resnet50"],
+                        help="Backbone for --include-cnn; default inferred "
+                             "from the model's cnn_feature_dim")
+    parser.add_argument("--cnn-variant", type=str, default=None,
+                        choices=[None, "xla", "folded", "int8"],
+                        help="Backbone forward variant for --include-cnn")
+    parser.add_argument("--allow-random-cnn-init", action="store_true",
+                        help="Export with a RANDOM-init backbone (pipeline "
+                             "testing only; captions will be meaningless)")
+    parser.add_argument("--frame-batch-sizes", type=str, default=None,
+                        help="Comma-separated frame-program buckets "
+                             "(default: --batch-sizes)")
+    parser.add_argument("--cnn-chunk", type=int, default=320,
+                        help="Frames per in-program CNN chunk (bounds "
+                             "activation memory)")
     parser.add_argument("--log-level", type=str, default="INFO")
     return parser
 
@@ -80,10 +104,21 @@ def main(argv=None) -> None:
         length_penalty=args.length_penalty,
         compute_dtype=args.compute_dtype,
         platforms=platforms,
+        include_cnn=args.include_cnn,
+        cnn_weights_path=Path(args.cnn_weights) if args.cnn_weights else None,
+        cnn_model_type=args.cnn_model_type,
+        cnn_variant=args.cnn_variant,
+        allow_random_cnn_init=args.allow_random_cnn_init,
+        frame_batch_sizes=(
+            [int(b) for b in args.frame_batch_sizes.split(",") if b.strip()]
+            if args.frame_batch_sizes else None
+        ),
+        cnn_chunk=args.cnn_chunk,
     )
     size_mb = out.stat().st_size / 2**20
     print(f"wrote {out} ({size_mb:.1f} MiB, buckets {batch_sizes}, "
-          f"method={args.method})")
+          f"method={args.method}"
+          + (", +cnn" if args.include_cnn else "") + ")")
 
 
 if __name__ == "__main__":

@@ -62,6 +62,13 @@ def export_serving_artifact(
     length_penalty: float = 1.0,
     compute_dtype: Optional[str] = None,
     platforms: Optional[Sequence[str]] = None,
+    include_cnn: bool = False,
+    cnn_weights_path: Optional[Union[str, Path]] = None,
+    cnn_model_type: Optional[str] = None,
+    cnn_variant: Optional[str] = None,
+    allow_random_cnn_init: bool = False,
+    frame_batch_sizes: Optional[Sequence[int]] = None,
+    cnn_chunk: int = 320,
 ) -> Path:
     """Trace + serialize the serving program for each batch bucket.
 
@@ -69,6 +76,18 @@ def export_serving_artifact(
     ``CheckpointManager.save_model_for_inference``). ``platforms``: lowering
     targets (e.g. ``["tpu"]`` or ``["cpu", "tpu"]``); None = the exporting
     host's backend.
+
+    ``include_cnn`` additionally exports FULL-PIPELINE programs — uint8
+    frames → fused normalize → CNN backbone → encoder → beam/greedy — so
+    the BASELINE north-star workload ships as one sha256-gated artifact
+    (the reference never fuses its two halves: preprocess.py:125-154
+    extracts offline, predictor.py:78-145 decodes from features). The
+    features-only buckets are kept alongside. ``cnn_weights_path`` accepts
+    native ``.vcw.npz``, quantized ``vcw-int8-v1`` (implies the int8
+    variant — the measured-fastest serving pipeline), or a torchvision
+    state file. Inside the program the flattened ``B·T`` frames run the
+    CNN in ``lax.map`` chunks of ``cnn_chunk`` frames, bounding activation
+    memory the way the live chunked pipeline does.
     """
     import jax
     import jax.numpy as jnp
@@ -138,6 +157,78 @@ def export_serving_artifact(
             "exported batch-%d program: %.1f MiB", B, len(programs[B]) / 2**20
         )
 
+    frame_programs: Dict[int, bytes] = {}
+    cnn_meta: Optional[Dict[str, object]] = None
+    if include_cnn:
+        from ..models.backbones import FEATURE_DIMS, FeatureExtractor
+
+        model_type = cnn_model_type or (
+            "vgg16" if F == FEATURE_DIMS["vgg16"] else "resnet50"
+        )
+        if FEATURE_DIMS.get(model_type) != F:
+            raise ValueError(
+                f"model expects {F}-d features but backbone {model_type} "
+                f"produces {FEATURE_DIMS.get(model_type)}-d"
+            )
+        extractor = FeatureExtractor(
+            model_type, config,
+            weights_path=Path(cnn_weights_path) if cnn_weights_path else None,
+            variant=cnn_variant,
+            allow_random_init=allow_random_cnn_init,
+            compute_dtype=compute_dtype
+            if compute_dtype in (None, "float32", "bfloat16") else None,
+        )
+        cnn_fn = extractor.traceable_fn()
+        H, W = (int(s) for s in config.data.img_size)
+
+        def serving_fn_frames(frames_u8):
+            B_, T_, H_, W_, C_ = frames_u8.shape
+            flat = frames_u8.reshape(B_ * T_, H_, W_, C_)
+            n = flat.shape[0]
+            chunk = min(int(cnn_chunk), n)
+            groups = -(-n // chunk)
+            pad = groups * chunk - n
+            if pad:
+                flat = jnp.concatenate(
+                    [flat, jnp.zeros((pad, H_, W_, C_), flat.dtype)]
+                )
+            # Chunked CNN inside ONE program: lax.map bounds activation
+            # memory to `chunk` frames (the live pipeline's discipline)
+            # while the whole frames→caption path stays a single dispatch.
+            feats = jax.lax.map(
+                cnn_fn, flat.reshape(groups, chunk, H_, W_, C_)
+            ).reshape(groups * chunk, F)[:n]
+            return serving_fn(feats.reshape(B_, T_, F).astype(feat_dtype))
+
+        frame_buckets = sorted(set(
+            int(b) for b in (frame_batch_sizes
+                             if frame_batch_sizes is not None
+                             else batch_sizes)
+        ))
+        if not frame_buckets or frame_buckets[0] < 1:
+            raise ValueError(
+                f"frame_batch_sizes must be positive, got {frame_buckets}"
+            )
+        for B in frame_buckets:
+            spec = jax.ShapeDtypeStruct((B, T, H, W, 3), jnp.uint8)
+            exported = jax.export.export(
+                jax.jit(serving_fn_frames), **export_kwargs
+            )(spec)
+            frame_programs[B] = exported.serialize()
+            logger.info(
+                "exported frames batch-%d program: %.1f MiB",
+                B, len(frame_programs[B]) / 2**20,
+            )
+        cnn_meta = {
+            "model_type": model_type,
+            "variant": extractor.variant,
+            "frame_shape": [T, H, W, 3],
+            "frame_batch_sizes": frame_buckets,
+            "cnn_chunk": int(cnn_chunk),
+            "weights_source": str(cnn_weights_path) if cnn_weights_path
+            else ("random_init" if allow_random_cnn_init else None),
+        }
+
     manifest = {
         "format": ARTIFACT_FORMAT,
         "source_model": model_path.name,
@@ -155,6 +246,12 @@ def export_serving_artifact(
             str(B): {"file": f"program_b{B}.bin", "sha256": _sha256(blob)}
             for B, blob in programs.items()
         },
+        "cnn": cnn_meta,
+        "frame_programs": {
+            str(B): {"file": f"program_frames_b{B}.bin",
+                     "sha256": _sha256(blob)}
+            for B, blob in frame_programs.items()
+        },
         "vocabulary": {
             "idx2word": {str(k): v for k, v in vocab["idx2word"].items()},
             "special_tokens": vocab["special_tokens"],
@@ -170,6 +267,11 @@ def export_serving_artifact(
             # The blobs are already-compressed flatbuffers; store raw.
             zf.writestr(
                 zipfile.ZipInfo(f"program_b{B}.bin"), blob,
+                compress_type=zipfile.ZIP_STORED,
+            )
+        for B, blob in frame_programs.items():
+            zf.writestr(
+                zipfile.ZipInfo(f"program_frames_b{B}.bin"), blob,
                 compress_type=zipfile.ZIP_STORED,
             )
     tmp.replace(output_path)
@@ -271,11 +373,12 @@ class ExportedPredictor:
 
     # ------------------------------------------------------------ loading
 
-    def _fn(self, bucket: int):
-        if bucket not in self._fns:
+    def _load_program(self, table: str, bucket: int):
+        key = (table, bucket)
+        if key not in self._fns:
             import jax
 
-            entry = self.manifest["programs"][str(bucket)]
+            entry = self.manifest[table][str(bucket)]
             with zipfile.ZipFile(self.path) as zf:
                 blob = zf.read(entry["file"])
             digest = _sha256(blob)
@@ -285,14 +388,21 @@ class ExportedPredictor:
                     f"(manifest {entry['sha256'][:12]}…, file {digest[:12]}…) "
                     "— artifact corrupted or tampered"
                 )
-            self._fns[bucket] = jax.export.deserialize(blob).call
-        return self._fns[bucket]
+            self._fns[key] = jax.export.deserialize(blob).call
+        return self._fns[key]
 
-    def _bucket_for(self, n: int) -> int:
-        for b in self.batch_sizes:
+    def _fn(self, bucket: int):
+        return self._load_program("programs", bucket)
+
+    @staticmethod
+    def _bucket_in(buckets: List[int], n: int) -> int:
+        for b in buckets:
             if b >= n:
                 return b
-        return self.batch_sizes[-1]
+        return buckets[-1]
+
+    def _bucket_for(self, n: int) -> int:
+        return self._bucket_in(self.batch_sizes, n)
 
     # --------------------------------------------------------- generation
 
@@ -368,22 +478,104 @@ class ExportedPredictor:
 
                 chunk = jnp.asarray(chunk).astype(jnp.bfloat16)
             out = self._fn(bucket)(chunk)
-            tokens = _np.asarray(out["generated_tokens"])[:real]
-            scores = (
-                _np.asarray(out["all_scores"])[:real]
-                if "all_scores" in out else None
-            )
-            for i in range(real):
-                rec: Dict[str, object] = {
-                    "caption": self.decode_caption(tokens[i].tolist()),
-                    "tokens": tokens[i].tolist(),
-                    "method": self.method,
-                }
-                if scores is not None:
-                    rec["score"] = float(scores[i][0])
-                results.append(rec)
+            results.extend(self._records(out, real))
             pos += real
         return results
 
     def predict_from_features(self, video_features: np.ndarray) -> Dict[str, object]:
         return self.predict_batch(np.asarray(video_features)[None])[0]
+
+    # --------------------------------------------------- full pipeline
+
+    @property
+    def includes_cnn(self) -> bool:
+        """True when the artifact carries frames→caption programs
+        (exported with ``include_cnn``)."""
+        return bool(self.manifest.get("frame_programs"))
+
+    @property
+    def frame_shape(self) -> List[int]:
+        """(T, H, W, 3) per-clip uint8 frame shape of the baked pipeline."""
+        if not self.includes_cnn:
+            raise ValueError(
+                f"{self.path} has no CNN-inclusive programs (re-export with "
+                "include_cnn=True / --include-cnn)"
+            )
+        return list(self.manifest["cnn"]["frame_shape"])
+
+    def predict_from_frames(self, frames, **options) -> List[Dict[str, object]]:
+        """Full-pipeline decode: raw uint8 RGB frames → caption, through
+        the baked frames→CNN→encoder→beam program (ONE device dispatch per
+        bucket — the BASELINE north-star workload as a serving artifact).
+
+        ``frames``: (B, T, H, W, 3) uint8, or a list of per-clip
+        (T, H, W, 3) arrays, already uniform-sampled to the baked T (the
+        host decode step — ``data.video.extract_frames`` — produces exactly
+        this shape). Returns the same records as :meth:`predict_batch`.
+        """
+        import numpy as _np
+
+        if options:
+            self.validate_options(options)
+        T, H, W, C = self.frame_shape
+        if isinstance(frames, (list, tuple)):
+            stacked = []
+            for i, clip in enumerate(frames):
+                clip = _np.asarray(clip)
+                if list(clip.shape) != [T, H, W, C]:
+                    raise ValueError(
+                        f"clip {i}: expected ({T}, {H}, {W}, {C}) frames, "
+                        f"got {clip.shape} (resample/resize on the host "
+                        "first — data.video.extract_frames does both)"
+                    )
+                stacked.append(clip)
+            frames = _np.stack(stacked) if stacked else \
+                _np.zeros((0, T, H, W, C), _np.uint8)
+        frames = _np.asarray(frames)
+        if frames.dtype != _np.uint8:
+            raise ValueError(
+                f"frames must be uint8 RGB (normalization is baked into "
+                f"the program), got {frames.dtype}"
+            )
+        if frames.ndim != 5 or list(frames.shape[1:]) != [T, H, W, C]:
+            raise ValueError(
+                f"expected (B, {T}, {H}, {W}, {C}) frames, got {frames.shape}"
+            )
+
+        buckets = sorted(self.manifest["cnn"]["frame_batch_sizes"])
+        results: List[Dict[str, object]] = []
+        n = frames.shape[0]
+        pos = 0
+        while pos < n:
+            chunk = frames[pos: pos + self._bucket_in(buckets, n - pos)]
+            bucket = self._bucket_in(buckets, chunk.shape[0])
+            real = chunk.shape[0]
+            if real < bucket:
+                pad = _np.zeros(
+                    (bucket - real,) + tuple(chunk.shape[1:]), _np.uint8
+                )
+                chunk = _np.concatenate([chunk, pad], axis=0)
+            out = self._load_program("frame_programs", bucket)(chunk)
+            results.extend(self._records(out, real))
+            pos += real
+        return results
+
+    def _records(self, out, real: int) -> List[Dict[str, object]]:
+        import numpy as _np
+
+        tokens = _np.asarray(out["generated_tokens"])[:real]
+        scores = (
+            _np.asarray(out["all_scores"])[:real]
+            if "all_scores" in out else None
+        )
+        records: List[Dict[str, object]] = []
+        for i in range(real):
+            rec: Dict[str, object] = {
+                "caption": self.decode_caption(tokens[i].tolist()),
+                "tokens": tokens[i].tolist(),
+                "method": self.method,
+            }
+            if scores is not None:
+                rec["score"] = float(scores[i][0])
+            records.append(rec)
+        return records

@@ -203,6 +203,7 @@ class FeatureExtractor:
             x = (x - _IMAGENET_MEAN.astype(dtype)) / _IMAGENET_STD.astype(dtype)
             return apply(params, x).astype(jnp.float32)
 
+        self._extract_fn = extract_batch  # unjitted, for traceable_fn
         self._extract = jax.jit(extract_batch)
 
     def calibrate_int8(self, frames: np.ndarray) -> None:
@@ -250,6 +251,7 @@ class FeatureExtractor:
             x = (x - _IMAGENET_MEAN.astype(dtype)) / _IMAGENET_STD.astype(dtype)
             return apply_int8(params, x).astype(jnp.float32)
 
+        self._extract_fn = extract_batch  # unjitted, for traceable_fn
         self._extract = jax.jit(extract_batch)
         self._int8_calibrated = True
 
@@ -264,6 +266,20 @@ class FeatureExtractor:
         from ...cli.convert_weights import save_int8_weights
 
         return save_int8_weights(path, self.model_type, self._run_params)
+
+    def traceable_fn(self):
+        """Params-baked pure function ``(N, H, W, 3) uint8 → (N, F)
+        float32``, traceable under ``jax.jit`` / ``jax.export`` — the CNN
+        stage of the full-pipeline AOT export (inference/export.py
+        ``include_cnn``). The int8 variant must already be calibrated
+        (load a ``vcw-int8-v1`` weights file, or call ``calibrate_int8``)."""
+        if self.variant == "int8" and not self._int8_calibrated:
+            raise ValueError(
+                "int8 extractor is not calibrated; load a vcw-int8-v1 "
+                "weights file or call calibrate_int8(frames) before tracing"
+            )
+        params, fn = self._run_params, self._extract_fn
+        return lambda frames_u8: fn(params, frames_u8)
 
     def extract(self, frames: np.ndarray) -> np.ndarray:
         """(N, H, W, 3) uint8 RGB frames → (N, feature_dim) float32."""
