@@ -199,3 +199,93 @@ def test_predictor_fault_maps_to_500(served, monkeypatch):
               {"features": rs.randn(6, 24).astype(np.float32).tolist()})
     assert e.value.code == 500
     assert "RESOURCE_EXHAUSTED" in json.loads(e.value.read())["error"]
+
+
+def test_metrics_endpoint(served):
+    """/metrics reports counters, queue depth, occupancy histogram, and
+    latency quantiles (JSON + Prometheus text)."""
+    server, _ = served
+    # Ensure at least one request has been served before reading metrics.
+    feats = np.random.RandomState(8).randn(7, 24).astype(np.float32)
+    _post(server.port, "/caption",
+          {"features": feats.tolist(), "method": "greedy", "max_length": 6})
+
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{server.port}/metrics", timeout=10
+    ) as resp:
+        m = json.loads(resp.read())
+    assert m["requests"] >= 1 and m["batches"] >= 1
+    assert m["queue_depth"] == 0
+    assert m["batch_errors"] >= 0
+    assert m["mean_batch_occupancy"] >= 1.0
+    assert sum(m["batch_occupancy_histogram"].values()) == m["batches"]
+    assert m["latency_ms"]["p50"] is not None
+    assert m["latency_ms"]["p95"] >= m["latency_ms"]["p50"]
+    assert m["max_batch"] == 8 and not m["draining"]
+
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{server.port}/metrics?format=prometheus",
+        timeout=10,
+    ) as resp:
+        assert resp.headers["Content-Type"].startswith("text/plain")
+        text = resp.read().decode()
+    assert "vct_requests_total" in text
+    assert 'vct_batch_occupancy_bucket{le="8"}' in text
+    assert "vct_latency_ms_p50" in text
+
+
+def test_drain_on_close_resolves_inflight_requests(tmp_path):
+    """close() drains: every accepted request resolves with a real result;
+    submits after shutdown begins get a 503-mapped ServerDraining."""
+    from video_captioning_tpu.inference.server import (
+        DynamicBatcher, ServerDraining,
+    )
+
+    class SlowPredictor:
+        feature_dim = 4
+
+        def predict_batch(self, features_list, **opts):
+            import time as _t
+
+            _t.sleep(0.05)
+            return [{"caption": "ok", "tokens": [1, 2]} for _ in features_list]
+
+    batcher = DynamicBatcher(SlowPredictor(), max_batch=2, max_wait_ms=1.0)
+    feats = np.zeros((3, 4), np.float32)
+    pending = [batcher.submit(feats, {}) for _ in range(6)]
+    batcher.close(drain=True)
+    for p in pending:
+        assert p.done.is_set()
+        assert p.error is None and p.result["caption"] == "ok"
+    with pytest.raises(ServerDraining):
+        batcher.submit(feats, {})
+    assert batcher.metrics()["draining"]
+
+
+def test_forced_close_fails_fast_instead_of_hanging(tmp_path):
+    """close(drain=False) resolves queued requests with a shutdown error
+    rather than leaving clients to hit the request timeout."""
+    import time as _t
+
+    from video_captioning_tpu.inference.server import DynamicBatcher
+
+    release = threading.Event()
+
+    class BlockingPredictor:
+        feature_dim = 4
+
+        def predict_batch(self, features_list, **opts):
+            release.wait(5.0)
+            return [{"caption": "late", "tokens": [1]} for _ in features_list]
+
+    batcher = DynamicBatcher(BlockingPredictor(), max_batch=1,
+                             max_wait_ms=1.0)
+    feats = np.zeros((2, 4), np.float32)
+    pending = [batcher.submit(feats, {}) for _ in range(4)]
+    _t.sleep(0.1)  # let the loop pick up (and block on) the first item
+    release.set()  # unblock the in-flight batch so join() can finish
+    batcher.close(drain=False)
+    resolved = [p for p in pending if p.done.is_set()]
+    assert len(resolved) == len(pending)
+    # At least the tail of the queue was failed fast, not served.
+    assert any(p.error == "server is shutting down" for p in pending)

@@ -16,11 +16,19 @@ most ``max_wait_ms``.
 
 Endpoints:
   GET  /healthz            -> {"status": "ok", ...}
+  GET  /metrics            -> request/batch counters, live queue depth,
+                              batch-occupancy histogram, latency
+                              p50/p95/p99 (JSON; ?format=prometheus for
+                              text exposition)
   POST /caption            -> body {"features": [[...],...], "method":
                               "greedy"|"beam"|"sample", "max_length": N,
                               "beam_size": K} -> {"caption": ..., ...}
   POST /caption_batch      -> {"items": [{"features": ...}, ...]} +
                               shared options -> {"results": [...]}
+
+Shutdown: ``close()`` stops accepting connections, then DRAINS — every
+already-accepted request is batched, run, and resolved before the batcher
+thread exits (no dropped in-flight work on deploy rollovers).
 """
 
 from __future__ import annotations
@@ -49,6 +57,11 @@ class ServerFault(RuntimeError):
     HTTP 500, unlike request-validation ValueErrors (400)."""
 
 
+class ServerDraining(RuntimeError):
+    """Raised for submits that arrive after shutdown began — mapped to
+    HTTP 503 so load balancers retry on another replica."""
+
+
 @dataclass
 class _Pending:
     features: np.ndarray
@@ -56,6 +69,11 @@ class _Pending:
     done: threading.Event = field(default_factory=threading.Event)
     result: Optional[dict] = None
     error: Optional[str] = None
+    submitted_at: float = field(default_factory=time.monotonic)
+
+
+# Batch-occupancy histogram bucket upper bounds (inclusive).
+_OCCUPANCY_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128)
 
 
 class DynamicBatcher:
@@ -63,27 +81,84 @@ class DynamicBatcher:
 
     def __init__(self, predictor, max_batch: int = 64,
                  max_wait_ms: float = 5.0,
-                 defaults: Optional[Dict] = None):
+                 defaults: Optional[Dict] = None,
+                 latency_window: int = 4096):
         self.predictor = predictor
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1000.0
         self.defaults = dict(_DEFAULTS if defaults is None else defaults)
         self.queue: "queue.Queue[_Pending]" = queue.Queue()
-        self.stats = {"requests": 0, "batches": 0, "batched_items": 0}
-        self._stop = threading.Event()
+        self.stats = {"requests": 0, "batches": 0, "batched_items": 0,
+                      "batch_errors": 0}
+        self._started_at = time.monotonic()
+        # Observability state (lock-protected: the HTTP threads read while
+        # the batcher thread writes).
+        self._metrics_lock = threading.Lock()
+        self._occupancy = {b: 0 for b in _OCCUPANCY_BUCKETS}
+        from collections import deque
+
+        self._latencies = deque(maxlen=latency_window)  # seconds
+        self._rejecting = False
+        self._stop = threading.Event()   # graceful: exit once drained
+        self._abort = threading.Event()  # forced: exit now, fail leftovers
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
     def submit(self, features: np.ndarray, options: Dict) -> _Pending:
+        if self._rejecting:
+            raise ServerDraining("server is shutting down")
         opts = tuple(sorted({**self.defaults, **options}.items()))
         item = _Pending(features=features, options=opts)
         self.stats["requests"] += 1
         self.queue.put(item)
         return item
 
-    def close(self):
+    def close(self, drain: bool = True, timeout: float = 60.0):
+        """Stop the batcher. ``drain=True`` (default) first refuses new
+        submits, then lets the loop run every already-queued request to
+        completion — no accepted request is dropped on shutdown.
+        ``drain=False`` aborts immediately; queued requests resolve with a
+        shutdown error instead of hanging until the request timeout."""
+        self._rejecting = True
+        if not drain:
+            self._abort.set()
         self._stop.set()
-        self._thread.join(timeout=5)
+        self._thread.join(timeout=max(5.0, timeout))
+
+    # --------------------------------------------------------- metrics
+
+    def metrics(self) -> Dict[str, object]:
+        """Production observability snapshot: counters, live queue depth,
+        batch-occupancy histogram, and request-latency quantiles over the
+        last ``latency_window`` requests (submit → resolution, i.e. queue
+        wait + device time)."""
+        with self._metrics_lock:
+            lat = sorted(self._latencies)
+            occupancy = dict(self._occupancy)
+        batches = max(1, self.stats["batches"])
+
+        def pct(p: float) -> Optional[float]:
+            if not lat:
+                return None
+            return round(1000.0 * lat[min(len(lat) - 1,
+                                          int(p * len(lat)))], 3)
+
+        return {
+            **self.stats,
+            "queue_depth": self.queue.qsize(),
+            "mean_batch_occupancy": round(
+                self.stats["batched_items"] / batches, 3),
+            "batch_occupancy_histogram": {
+                f"le_{b}": n for b, n in occupancy.items()
+            },
+            "latency_ms": {"p50": pct(0.50), "p95": pct(0.95),
+                           "p99": pct(0.99),
+                           "window": len(lat)},
+            "max_batch": self.max_batch,
+            "max_wait_ms": self.max_wait_s * 1000.0,
+            "uptime_s": round(time.monotonic() - self._started_at, 3),
+            "draining": self._rejecting,
+        }
 
     # ------------------------------------------------------------------
 
@@ -110,13 +185,18 @@ class DynamicBatcher:
         return batch
 
     def _loop(self):
-        while not self._stop.is_set():
+        # Keep serving until stopped AND drained: a stop with queued work
+        # (graceful shutdown) still runs every accepted request.
+        while not self._abort.is_set() and not (
+            self._stop.is_set() and self.queue.empty()
+        ):
             try:
                 first = self.queue.get(timeout=0.05)
             except queue.Empty:
                 continue
             batch = self._drain(first)
             opts = dict(batch[0].options)
+            failed = False
             try:
                 results = self.predictor.predict_batch(
                     [item.features for item in batch], **opts
@@ -125,12 +205,32 @@ class DynamicBatcher:
                     item.result = res
             except Exception as e:  # surface per-request, keep serving
                 logger.exception("batch failed")
+                failed = True
                 for item in batch:
                     item.error = f"{type(e).__name__}: {e}"
+            now = time.monotonic()
             self.stats["batches"] += 1
             self.stats["batched_items"] += len(batch)
+            if failed:
+                self.stats["batch_errors"] += 1
+            with self._metrics_lock:
+                for b in _OCCUPANCY_BUCKETS:
+                    if len(batch) <= b:
+                        self._occupancy[b] += 1
+                        break
+                for item in batch:
+                    self._latencies.append(now - item.submitted_at)
             for item in batch:
                 item.done.set()
+        # Forced (non-drain) stop: resolve whatever is still queued so
+        # awaiting request threads fail fast instead of timing out.
+        try:
+            while True:
+                item = self.queue.get_nowait()
+                item.error = "server is shutting down"
+                item.done.set()
+        except queue.Empty:
+            pass
 
 
 class CaptionServer:
@@ -169,6 +269,18 @@ class CaptionServer:
             def do_GET(self):
                 if self.path == "/healthz":
                     self._send(200, {"status": "ok", **server.batcher.stats})
+                elif self.path.split("?")[0] == "/metrics":
+                    metrics = server.batcher.metrics()
+                    if "format=prometheus" in self.path:
+                        body = _prometheus_text(metrics).encode()
+                        self.send_response(200)
+                        self.send_header(
+                            "Content-Type", "text/plain; version=0.0.4")
+                        self.send_header("Content-Length", str(len(body)))
+                        self.end_headers()
+                        self.wfile.write(body)
+                    else:
+                        self._send(200, metrics)
                 else:
                     self._send(404, {"error": "not found"})
 
@@ -190,6 +302,8 @@ class CaptionServer:
                     self._send(400, {"error": str(e)})
                 except TimeoutError as e:
                     self._send(504, {"error": str(e)})
+                except ServerDraining as e:
+                    self._send(503, {"error": str(e)})
                 except ServerFault as e:
                     self._send(500, {"error": str(e)})
                 except Exception as e:  # never drop the connection
@@ -285,7 +399,47 @@ class CaptionServer:
         self.start()
         self._serve_thread.join()
 
-    def close(self):
+    def metrics(self) -> Dict[str, object]:
+        return self.batcher.metrics()
+
+    def close(self, drain: bool = True):
+        """Graceful shutdown: stop accepting connections FIRST, then drain
+        the batcher so every accepted request resolves before exit."""
         self.httpd.shutdown()
         self.httpd.server_close()
-        self.batcher.close()
+        self.batcher.close(drain=drain)
+
+
+def _prometheus_text(metrics: Dict[str, object]) -> str:
+    """Render the metrics snapshot in Prometheus text exposition format."""
+    lines = []
+
+    def emit(name, value, help_text=None, labels=""):
+        if value is None:
+            return
+        if help_text:
+            lines.append(f"# HELP vct_{name} {help_text}")
+            lines.append(f"# TYPE vct_{name} gauge")
+        lines.append(f"vct_{name}{labels} {value}")
+
+    emit("requests_total", metrics["requests"], "Accepted caption requests")
+    emit("batches_total", metrics["batches"], "Device batches dispatched")
+    emit("batched_items_total", metrics["batched_items"],
+         "Requests served through batches")
+    emit("batch_errors_total", metrics["batch_errors"],
+         "Batches that failed server-side")
+    emit("queue_depth", metrics["queue_depth"], "Requests waiting")
+    emit("mean_batch_occupancy", metrics["mean_batch_occupancy"],
+         "Mean requests per device batch")
+    emit("uptime_seconds", metrics["uptime_s"], "Batcher uptime")
+    first = True
+    for bucket, count in metrics["batch_occupancy_histogram"].items():
+        emit("batch_occupancy_bucket", count,
+             "Batch size histogram" if first else None,
+             labels=f'{{le="{bucket[3:]}"}}')
+        first = False
+    lat = metrics["latency_ms"]
+    for q in ("p50", "p95", "p99"):
+        emit(f"latency_ms_{q}", lat[q],
+             f"Request latency {q} over the last {lat['window']} requests")
+    return "\n".join(lines) + "\n"
