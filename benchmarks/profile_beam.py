@@ -30,6 +30,10 @@ def main() -> None:
     parser.add_argument("--max-length", type=int, default=20)
     parser.add_argument("--architecture", default="lstm",
                         choices=["lstm", "transformer"])
+    parser.add_argument("--fused", action="store_true",
+                        help="transformer only: fused Pallas beam attention")
+    parser.add_argument("--cache-bf16", action="store_true",
+                        help="transformer only: bf16 KV-cache storage")
     args = parser.parse_args()
 
     import jax
@@ -42,6 +46,8 @@ def main() -> None:
 
     config = Config()
     config.model.architecture = args.architecture
+    config.kernels.transformer_fused_beam_attn = args.fused
+    config.kernels.transformer_cache_bf16 = args.cache_bf16
     vocab_size = 10000
     B, T = args.batch, 80
     compute_dtype = (

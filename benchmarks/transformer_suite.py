@@ -45,6 +45,29 @@ def main():
             print(f"{method:6s} {dtype_name:9s} B={BATCH}: "
                   f"{cps:10.1f} clips/sec ({per_batch*1e3:.2f} ms / batch)")
 
+        # A/B: fused Pallas beam attention (self + cross in one pass each,
+        # fp32-in-VMEM softmax), alone and with bf16 cache storage. Under
+        # bf16 params the fused path keeps bf16 decode state (the kernel
+        # sidesteps the packed-layout softmax cliff the fp32-state forcing
+        # dodges) — families.py gates on the flag.
+        for fused_name, cache_bf16 in [("fused", False),
+                                       ("fused_cachebf16", True)]:
+            config.kernels.transformer_fused_beam_attn = True
+            config.kernels.transformer_cache_bf16 = cache_bf16
+            try:
+                cps, per_batch = measure(config, params, "beam", 5, BATCH,
+                                         dtype)
+            finally:
+                config.kernels.transformer_fused_beam_attn = False
+                config.kernels.transformer_cache_bf16 = False
+            results[f"beam_{dtype_name}_b{BATCH}_transformer_{fused_name}"] = {
+                "clips_per_sec": round(cps, 1),
+                "batch": BATCH,
+                "sec_per_batch": round(per_batch, 5),
+            }
+            print(f"beam   {dtype_name:9s} B={BATCH} {fused_name}: "
+                  f"{cps:10.1f} clips/sec ({per_batch*1e3:.2f} ms / batch)")
+
     out = Path(__file__).parent / "transformer_results.json"
     out.write_text(json.dumps(results, indent=2))
     print(f"wrote {out}")

@@ -546,3 +546,68 @@ def test_trainer_memorizes_and_predictor_roundtrips(tr_config, tmp_path):
         feats0, num_captions=3, method="beam", beam_size=5, max_length=8
     )
     assert len(multi) == 3 and multi[0]["score"] >= multi[-1]["score"]
+
+
+def test_fused_beam_attention_matches_xla_path(tr_config):
+    """kernels.transformer_fused_beam_attn (interpret mode on CPU): the
+    Pallas ancestry-select self-attention + one-query cross-attention
+    kernels must reproduce the XLA lazy-rebeam path — same tokens, same
+    completed register, scores equal to fp32 tolerance — across beam
+    sizes and a ragged mask."""
+    params, feats, enc_outs, final, mask = _setup(tr_config, B=3, key=13)
+    ragged = mask.at[1, 6:].set(0)
+    for K in (2, 5):
+        tr_config.kernels.transformer_fused_beam_attn = False
+        ref = beam_search_generate(
+            params, tr_config, enc_outs, final, START, END, 6, ragged,
+            beam_size=K, length_penalty=0.8,
+        )
+        tr_config.kernels.transformer_fused_beam_attn = True
+        tr_config.kernels.interpret = True
+        try:
+            fused = beam_search_generate(
+                params, tr_config, enc_outs, final, START, END, 6, ragged,
+                beam_size=K, length_penalty=0.8,
+            )
+        finally:
+            tr_config.kernels.transformer_fused_beam_attn = False
+            tr_config.kernels.interpret = False
+        np.testing.assert_array_equal(
+            np.asarray(fused["generated_tokens"]),
+            np.asarray(ref["generated_tokens"]),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(fused["all_tokens"]), np.asarray(ref["all_tokens"])
+        )
+        np.testing.assert_allclose(
+            np.asarray(fused["all_scores"]), np.asarray(ref["all_scores"]),
+            rtol=0, atol=2e-5,
+        )
+
+
+def test_fused_beam_attention_bf16_cache(tr_config):
+    """Fused kernels with bf16 cache storage: tokens must match the XLA
+    bf16-cache path (both read the same bf16-rounded rows; the kernel's
+    softmax is fp32 either way)."""
+    params, feats, enc_outs, final, mask = _setup(tr_config, B=2, key=19)
+    tr_config.kernels.transformer_cache_bf16 = True
+    try:
+        tr_config.kernels.transformer_fused_beam_attn = False
+        ref = beam_search_generate(
+            params, tr_config, enc_outs, final, START, END, 6, mask,
+            beam_size=4,
+        )
+        tr_config.kernels.transformer_fused_beam_attn = True
+        tr_config.kernels.interpret = True
+        fused = beam_search_generate(
+            params, tr_config, enc_outs, final, START, END, 6, mask,
+            beam_size=4,
+        )
+    finally:
+        tr_config.kernels.transformer_cache_bf16 = False
+        tr_config.kernels.transformer_fused_beam_attn = False
+        tr_config.kernels.interpret = False
+    np.testing.assert_array_equal(
+        np.asarray(fused["generated_tokens"]),
+        np.asarray(ref["generated_tokens"]),
+    )

@@ -260,6 +260,17 @@ class KernelConfig:
     # in tests/test_transformer.py. Off by default: fp32 caches keep
     # decode bit-identical to the parallel teacher-forcing oracle.
     transformer_cache_bf16: bool = False
+    # Fused transformer beam-decode attention Pallas kernels
+    # (ops/transformer_attn_pallas.py): the ancestry-select cached
+    # self-attention and the one-query cross-attention each run as ONE
+    # Pallas pass with fp32-in-VMEM softmax — the lazy-rebeam selection
+    # happens by one-hot gather BEFORE the score dot (no (B, K, h, j, T)
+    # expansion or re-expansion intermediates), and bf16 cache/KV storage
+    # skips XLA's packed-layout softmax cliff natively. Applies to the
+    # lazy-rebeam beam path only (greedy and CP keep XLA). Numerical
+    # parity gated in tests/test_pallas_kernels.py; token identity in
+    # tests/test_transformer.py.
+    transformer_fused_beam_attn: bool = False
 
 
 @dataclass

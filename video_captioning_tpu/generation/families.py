@@ -166,7 +166,12 @@ def _transformer_family(
     # hybrid. Greedy (K=1) keeps bf16 state: measured faster there
     # (6.7 vs 10.5 ms/batch).
     state_dtype = encoder_outputs.dtype
-    if K > 1 and state_dtype == jnp.bfloat16:
+    fused_attn = (
+        config.kernels.transformer_fused_beam_attn
+        and config.kernels.transformer_lazy_rebeam
+        and config.parallel.context_axis is None
+    )
+    if K > 1 and state_dtype == jnp.bfloat16 and not fused_attn:
         state_dtype = jnp.float32
         cross_kv = jax.tree_util.tree_map(
             lambda x: x.astype(jnp.float32), cross_kv

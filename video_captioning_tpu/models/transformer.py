@@ -514,6 +514,63 @@ def _cached_self_attn_beam(
     return apply_linear(p["wo"], ctx), k_all, v_all
 
 
+def _cached_self_attn_beam_fused(
+    p: dict,
+    x: Array,
+    k_all: Array,
+    v_all: Array,
+    layer: int,
+    anc: Array,
+    t: Array,
+    heads: int,
+    num_beams: int,
+    interpret: bool,
+) -> Tuple[Array, Array, Array]:
+    """Kernel-fused variant of :func:`_cached_self_attn_beam`
+    (ops/transformer_attn_pallas.py): same q/k/v projections and one-row
+    cache writes, then ancestry selection + fp32 softmax + context in ONE
+    Pallas pass over the cache rows — no (B, K, h, j, T) score expansion
+    and no packed-layout softmax under bf16 caches. Flag:
+    ``kernels.transformer_fused_beam_attn``."""
+    from ..ops.transformer_attn_pallas import beam_self_attention
+
+    cdt = k_all.dtype
+    q = apply_linear(p["wq"], x)
+    k_t = apply_linear(p["wk"], x)
+    v_t = apply_linear(p["wv"], x)
+    k_all = jax.lax.dynamic_update_slice(
+        k_all, k_t.astype(cdt)[None, :, None, :], (layer, 0, t, 0))
+    v_all = jax.lax.dynamic_update_slice(
+        v_all, v_t.astype(cdt)[None, :, None, :], (layer, 0, t, 0))
+    ctx = beam_self_attention(
+        q, k_all, v_all, anc, t, layer, heads, num_beams,
+        interpret=interpret,
+    )
+    return apply_linear(p["wo"], ctx), k_all, v_all
+
+
+def _cross_attn_step_fused(
+    p: dict,
+    x: Array,
+    ck: Array,
+    cv: Array,
+    encoder_mask: Optional[Array],
+    heads: int,
+    num_beams: int,
+    interpret: bool,
+) -> Tuple[Array, Array]:
+    """Kernel-fused variant of :func:`_cross_attn_step`: one Pallas pass
+    with fp32-in-VMEM softmax (bf16 K/V storage halves the dominant
+    per-step HBM read without XLA's packed-layout softmax cliff)."""
+    from ..ops.transformer_attn_pallas import beam_cross_attention
+
+    q = apply_linear(p["wq"], x)
+    ctx, w = beam_cross_attention(
+        q, ck, cv, encoder_mask, heads, num_beams, interpret=interpret,
+    )
+    return apply_linear(p["wo"], ctx), w
+
+
 def _cross_attn_step(
     p: dict,
     x: Array,              # (N, D) pre-LN'd query activations
@@ -695,6 +752,11 @@ def decode_step_beam_core(
     cp_axis = config.parallel.context_axis
     dtype = cross_kv["k"].dtype  # activation dtype; see decode_step_core
     B, K, _ = state["anc"].shape
+    # Fused Pallas beam attention (ops/transformer_attn_pallas.py): one
+    # pass per attention with fp32-in-VMEM softmax. CP keeps the shard_map
+    # path (its collectives live outside kernel boundaries).
+    fused = config.kernels.transformer_fused_beam_attn and cp_axis is None
+    interpret = config.kernels.interpret
 
     emb = jnp.take(params["embedding"]["table"], token_ids, axis=0)
     pos = jax.lax.dynamic_slice_in_dim(params["pos_embedding"], t, 1, axis=0)
@@ -711,16 +773,28 @@ def decode_step_beam_core(
 
     k_all, v_all, cross_w = state["k"], state["v"], None
     for i, blk in enumerate(params["blocks"]):
-        h, k_all, v_all = _cached_self_attn_beam(
-            blk["self_attn"], _apply_layer_norm(blk["ln1"], x),
-            k_all, v_all, i, anc, t, heads, K,
-        )
+        if fused:
+            h, k_all, v_all = _cached_self_attn_beam_fused(
+                blk["self_attn"], _apply_layer_norm(blk["ln1"], x),
+                k_all, v_all, i, anc, t, heads, K, interpret,
+            )
+        else:
+            h, k_all, v_all = _cached_self_attn_beam(
+                blk["self_attn"], _apply_layer_norm(blk["ln1"], x),
+                k_all, v_all, i, anc, t, heads, K,
+            )
         x = x + h
         if cp_axis is not None:
             h, cross_w = _cross_attn_step_cp(
                 blk["cross_attn"], _apply_layer_norm(blk["ln2"], x),
                 cross_kv["k"][i], cross_kv["v"][i], encoder_mask, heads,
                 cp_axis,
+            )
+        elif fused:
+            h, cross_w = _cross_attn_step_fused(
+                blk["cross_attn"], _apply_layer_norm(blk["ln2"], x),
+                cross_kv["k"][i], cross_kv["v"][i], encoder_mask, heads, K,
+                interpret,
             )
         else:
             h, cross_w = _cross_attn_step(
