@@ -136,6 +136,27 @@ def main():
         print(f"beam   fp32 {att:9s} B=256: {cps:10.1f} clips/sec "
               f"({per_batch*1e3:.2f} ms / batch)")
 
+    # Opt-in W8A8 decode (models/quantize.py): the vocab projection — the
+    # LSTM step's biggest matmul — runs int8×int8→int32 on the MXU with
+    # dynamic activation scales. Token agreement vs fp32 is measured
+    # separately (benchmarks/int8_decode_gate.py).
+    from video_captioning_tpu.models.quantize import quantize_decode_params
+
+    for dtype_name, dtype in [("float32", jnp.float32),
+                              ("bfloat16", jnp.bfloat16)]:
+        config, params = build(dtype)
+        params_q = quantize_decode_params(params, config, "vocab")
+        for method, beam in [("greedy", 1), ("beam", 5)]:
+            cps, per_batch = measure(config, params_q, method, beam, 256,
+                                     dtype)
+            results[f"{method}_{dtype_name}_b256_int8vocab"] = {
+                "clips_per_sec": round(cps, 1),
+                "batch": 256,
+                "sec_per_batch": round(per_batch, 5),
+            }
+            print(f"{method:6s} {dtype_name:9s} int8vocab B=256: "
+                  f"{cps:10.1f} clips/sec ({per_batch*1e3:.2f} ms / batch)")
+
     # Single-clip p50 latency, beam-5 fp32 (one call per clip; includes the
     # ~35 ms tunnel round-trip of this environment).
     config, params = build(jnp.float32)

@@ -68,6 +68,25 @@ def main():
             print(f"beam   {dtype_name:9s} B={BATCH} {fused_name}: "
                   f"{cps:10.1f} clips/sec ({per_batch*1e3:.2f} ms / batch)")
 
+        # Opt-in W8A8 decode at level "full": vocab projection + every
+        # decoder-block linear int8 (models/quantize.py). Agreement gate:
+        # benchmarks/int8_decode_gate.py --architecture transformer.
+        from video_captioning_tpu.models.quantize import (
+            quantize_decode_params,
+        )
+
+        params_q = quantize_decode_params(params, config, "full")
+        for method, beam in [("greedy", 1), ("beam", 5)]:
+            cps, per_batch = measure(config, params_q, method, beam, BATCH,
+                                     dtype)
+            results[f"{method}_{dtype_name}_b{BATCH}_transformer_int8full"] = {
+                "clips_per_sec": round(cps, 1),
+                "batch": BATCH,
+                "sec_per_batch": round(per_batch, 5),
+            }
+            print(f"{method:6s} {dtype_name:9s} int8full B={BATCH}: "
+                  f"{cps:10.1f} clips/sec ({per_batch*1e3:.2f} ms / batch)")
+
     out = Path(__file__).parent / "transformer_results.json"
     out.write_text(json.dumps(results, indent=2))
     print(f"wrote {out}")

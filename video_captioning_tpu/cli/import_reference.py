@@ -69,11 +69,13 @@ class _StubObject:
         return f"_StubObject({self.__dict__!r})"
 
 
-def _install_unpickle_stubs() -> None:
-    """Register stub modules whose every attribute is a fresh stub class.
-
-    Idempotent; never replaces a real importable module already loaded.
-    """
+def _install_unpickle_stubs() -> list:
+    """Register stub modules whose every (non-dunder) attribute is a fresh
+    stub class. Returns the module names actually installed so the caller
+    can uninstall them after the load — stray permissive modules in
+    ``sys.modules`` confuse introspection tooling otherwise. Never
+    replaces a real importable module already loaded."""
+    installed = []
     for name in _STUB_MODULE_NAMES:
         if name in sys.modules:
             continue
@@ -81,6 +83,10 @@ def _install_unpickle_stubs() -> None:
         mod.__path__ = []  # mark as package so submodule lookups succeed
 
         def _getattr(attr: str, _mod_name=name):
+            if attr.startswith("__") and attr.endswith("__"):
+                # Dunder lookups (inspect's __file__, copy's __deepcopy__,
+                # …) must fail normally — only CLASS names get stubs.
+                raise AttributeError(attr)
             # One stub class per (module, attr) so pickle memoization and
             # isinstance checks inside a single load stay coherent.
             cls = type(attr, (_StubObject,), {"__module__": _mod_name})
@@ -89,6 +95,8 @@ def _install_unpickle_stubs() -> None:
 
         mod.__getattr__ = _getattr  # PEP 562
         sys.modules[name] = mod
+        installed.append(name)
+    return installed
 
 
 def load_reference_file(path: Path) -> Any:
@@ -100,10 +108,14 @@ def load_reference_file(path: Path) -> Any:
             f"{path} is a torch checkpoint but torch is not installed; "
             "run this migration on a host with torch available"
         ) from e
-    _install_unpickle_stubs()
-    # weights_only=False: reference packages embed config/vocabulary
-    # objects, not just tensors. The stubs keep that deserialization inert.
-    return torch.load(path, map_location="cpu", weights_only=False)
+    installed = _install_unpickle_stubs()
+    try:
+        # weights_only=False: reference packages embed config/vocabulary
+        # objects, not just tensors. The stubs keep deserialization inert.
+        return torch.load(path, map_location="cpu", weights_only=False)
+    finally:
+        for name in installed:
+            sys.modules.pop(name, None)
 
 
 def _looks_like_state_dict(obj: Any) -> bool:

@@ -43,6 +43,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--compute-dtype", type=str, default=None,
                         choices=[None, "float32", "bfloat16"],
                         help="bfloat16 halves decode HBM traffic")
+    parser.add_argument("--decode-int8", type=str, default="off",
+                        choices=["off", "vocab", "full"],
+                        help="Opt-in W8A8 decode quantization "
+                             "(models/quantize.py): approximate tokens; "
+                             "agreement rates in docs/PERFORMANCE.md")
     parser.add_argument("--data-parallel", action="store_true",
                         help="Shard device batches over all visible chips")
     parser.add_argument("--compilation-cache-dir", type=str, default=None)
@@ -72,6 +77,12 @@ def main(argv=None) -> None:
                 "--data-parallel is not supported with .vcx artifacts "
                 "(exported programs are single-device; run one server per "
                 "chip behind a load balancer — see docs/DEPLOYMENT.md)"
+            )
+        if args.decode_int8 != "off":
+            raise SystemExit(
+                "--decode-int8 applies at model-load time; .vcx programs "
+                "are already compiled (serve the .pth package with "
+                "--decode-int8 instead)"
             )
         from ..inference.export import ExportedPredictor
 
@@ -107,6 +118,7 @@ def main(argv=None) -> None:
         compute_dtype=args.compute_dtype,
         compilation_cache_dir=args.compilation_cache_dir,
         mesh=mesh,
+        decode_int8=args.decode_int8,
     )
     _serve(predictor, args)
 

@@ -67,7 +67,9 @@ def beam_search_generate(
     dec = params["decoder"] if "decoder" in params else params
     B, S, E = encoder_outputs.shape
     K = beam_size
-    V = dec["output_projection"]["kernel"].shape[1]
+    out_proj = dec["output_projection"]
+    vocab_quantized = "kernel_q" in out_proj  # models/quantize.py W8A8 form
+    V = out_proj["kernel_q" if vocab_quantized else "kernel"].shape[1]
     L = max_length + 1  # +1 for the START slot
 
     # Encoder-side tensors stay UN-expanded (B, S, ·): they are identical
@@ -85,6 +87,7 @@ def beam_search_generate(
     # once per call, outside the decode loop.
     use_fused_vocab = (
         config.kernels.use_fused_vocab_topk
+        and not vocab_quantized  # int8 decode keeps the hierarchical path
         and jax.default_backend() == "tpu"
         and B * K <= 2560  # VMEM budget for the row-resident block
         and min(K, V) <= 16

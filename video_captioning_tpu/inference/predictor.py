@@ -49,8 +49,18 @@ class VideoCaptionPredictor:
         cnn_weights_path: Optional[Path] = None,
         allow_random_cnn_init: bool = False,
         mesh=None,
+        decode_int8: str = "off",
     ):
-        """compute_dtype: "bfloat16" casts params once for ~2x lower HBM
+        """decode_int8: opt-in W8A8 quantization of the decode matrices
+        (models/quantize.py): "vocab" quantizes the (D, V) vocabulary
+        projection, "full" additionally every transformer block linear.
+        int8×int8→int32 MXU matmuls with dynamic per-row activation scales
+        — approximate by construction, so the fp32 token-parity contract
+        does not apply; measured token-agreement rates vs fp32 live in
+        benchmarks/int8_decode_gate.py output and docs/PERFORMANCE.md.
+        Composes with compute_dtype="bfloat16" (remaining matrices bf16).
+
+        compute_dtype: "bfloat16" casts params once for ~2x lower HBM
         traffic in the decode loops (+~7% beam-5 throughput). Token parity
         is only guaranteed in the default float32: the measured worst-case
         divergence (random-init weights, 10k full-length decodes,
@@ -98,6 +108,17 @@ class VideoCaptionPredictor:
                 if x.dtype == _jnp.float32
                 else x,
                 self.params,
+            )
+        if decode_int8 != "off":
+            from ..models.quantize import quantize_decode_params
+
+            self.params = quantize_decode_params(
+                self.params, self.config, decode_int8
+            )
+            self.logger.info(
+                f"decode path quantized to W8A8 (level={decode_int8}); "
+                "tokens are approximate vs fp32 — see "
+                "benchmarks/int8_decode_gate.py for measured agreement"
             )
         if mesh is not None:
             if "data" not in mesh.axis_names:

@@ -100,10 +100,57 @@ def init_linear(
 
 
 def apply_linear(params: dict, x: Array) -> Array:
+    if "kernel_q" in params:
+        return int8_linear(params, x)
     y = x @ params["kernel"]
     if "bias" in params:
         y = y + params["bias"]
     return y
+
+
+# --------------------------------------------------------------------------
+# W8A8 int8 linear (opt-in quantized decode — models/quantize.py)
+# --------------------------------------------------------------------------
+
+
+def quantize_linear_int8(params: dict) -> dict:
+    """fp32/bf16 linear params → W8A8 form: per-output-channel symmetric
+    int8 weights + fp32 scales. Consumed transparently by
+    :func:`apply_linear` (it dispatches on the ``kernel_q`` key), so every
+    decode call site routes through the int8 MXU path once the tree is
+    transformed (models/quantize.py:quantize_decode_params)."""
+    w = params["kernel"].astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(w), axis=0), 1e-8) / 127.0  # (out,)
+    q = jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
+    out = {"kernel_q": q, "w_scale": s}
+    if "bias" in params:
+        out["bias"] = params["bias"].astype(jnp.float32)
+    return out
+
+
+def int8_linear(params: dict, x: Array) -> Array:
+    """Dynamic-activation W8A8 matmul: per-row abs-max int8 activation
+    quant (computed on device each call — no calibration data needed for
+    decode activations), int8×int8→int32 on the MXU (2× the bf16 MXU rate
+    on v5e, half the weight HBM bytes of bf16), fp32 dequant + bias.
+
+    Numerics are approximate by construction (the whole point of the
+    opt-in): token-agreement rates vs fp32 are measured by
+    benchmarks/int8_decode_gate.py, mirroring the bf16 gate."""
+    xf = x.astype(jnp.float32)
+    sx = jnp.maximum(
+        jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-8
+    ) / 127.0
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, params["kernel_q"],
+        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * (sx * params["w_scale"])
+    if "bias" in params:
+        y = y + params["bias"]
+    return y.astype(x.dtype)
 
 
 # --------------------------------------------------------------------------
