@@ -29,14 +29,31 @@ Two kernels replace that schedule inside the beam ``lax.while_loop``
 
 Both are flag-gated (``kernels.transformer_fused_beam_attn``) with the
 XLA path as reference semantics; numerical parity and token-identity are
-gated in tests/test_pallas_kernels.py / tests/test_transformer.py.
+gated in tests/test_pallas_kernels.py / tests/test_transformer.py
+(interpret mode) and on chip by benchmarks/fused_attn_gate.py.
+
+Precision note (measured on chip, f64 ground truth): these kernels are
+MORE accurate than the XLA path they replace — the XLA path's fp32
+einsums run at DEFAULT MXU precision (single-pass bf16 multiplies,
+~5e-3 relative context error), while the kernels compute true fp32 on
+the VPU (~1e-6). Token identity therefore holds against the XLA path
+under HIGHEST matmul precision (fused_attn_gate: 1.0000 clip agreement),
+NOT against DEFAULT (0.81 at sharpen=3 random init — that divergence is
+XLA's bf16-pass rounding flipping near-tie beam decisions, not kernel
+error).
 
 Layout notes: the grid tiles the batch axis; per grid step the working
 set is (block_b·K, T, D) cache blocks + (block_b·K, D) activations —
 ~2 MB fp32 at reference scale (block_b=8, K=5, T=21, D=512), well inside
-VMEM with double buffering. Head loops are static Python loops emitting
-single-batch-dim ``dot_general``s (Mosaic-friendly); K-term selection
-loops are static too (K is the beam width, ≤ 10).
+VMEM with double buffering. Every contraction here is a BATCHED MATVEC
+(each query row attends over its own cache rows), so there is no rank-2
+matmul for the MXU and Mosaic rejects batched ``dot_general``s outright
+(its dot lowering is rank-2 only, verified on hardware) — the kernels
+express the score/context contractions as elementwise multiply +
+reductions on the VPU instead, which is the honest mapping for this
+bandwidth-bound shape (~55 MFLOP/step at reference scale, ≪ the HBM
+time of reading the caches). Head and beam loops are static Python
+loops; K is the beam width, ≤ 10.
 """
 
 from __future__ import annotations
@@ -97,11 +114,13 @@ def _self_attn_kernel(
     kc_sel = jnp.zeros((bt, K, T, D), compute_dt)
     vc_sel = jnp.zeros((bt, K, T, D), compute_dt)
     for j in range(K):
-        pick = (anc == j)[:, :, :, None]  # (bt, K, T, 1)
-        kc_sel = kc_sel + jnp.where(pick, kc_b[:, j][:, None], 0).astype(
-            compute_dt)
-        vc_sel = vc_sel + jnp.where(pick, vc_b[:, j][:, None], 0).astype(
-            compute_dt)
+        # fp32 one-hot BEFORE the trailing-axis insert: Mosaic only
+        # supports non-no-op minor-dim inserts for 32-bit types (i1/i8
+        # variants fail to lower), and multiply-accumulate beats where()
+        # for the same reason.
+        pick = (anc == j).astype(compute_dt)[:, :, :, None]  # (bt,K,T,1)
+        kc_sel = kc_sel + pick * kc_b[:, j][:, None].astype(compute_dt)
+        vc_sel = vc_sel + pick * vc_b[:, j][:, None].astype(compute_dt)
 
     kc_sel = kc_sel.reshape(btK, T, D)
     vc_sel = vc_sel.reshape(btK, T, D)
@@ -112,31 +131,24 @@ def _self_attn_kernel(
     )
     scale = 1.0 / math.sqrt(dh)
 
-    ctx = jnp.zeros((btK, D), jnp.float32)
+    heads = []
     for h in range(num_heads):
         sl = slice(h * dh, (h + 1) * dh)
         q_h = q[:, sl]                      # (btK, dh)
         k_h = kc_sel[:, :, sl]              # (btK, T, dh)
         v_h = vc_sel[:, :, sl]
-        # scores[n, τ] = Σ_d q[n, d]·k[n, τ, d]
-        scores = jax.lax.dot_general(
-            q_h, k_h,
-            dimension_numbers=(((1,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ) * scale                           # (btK, T)
+        # scores[n, τ] = Σ_d q[n, d]·k[n, τ, d] — batched matvec, so VPU
+        # multiply + lane-dim reduction (no rank-2 dot exists here).
+        scores = jnp.sum(q_h[:, None, :] * k_h, axis=-1) * scale  # (btK, T)
         scores = jnp.where(valid, scores, NEG_INF)
         m = jnp.max(scores, axis=-1, keepdims=True)
         e = jnp.exp(scores - m)
         w = e / jnp.sum(e, axis=-1, keepdims=True)  # fp32 softmax in VMEM
-        # ctx[n, d] = Σ_τ w[n, τ]·v[n, τ, d]
-        ctx_h = jax.lax.dot_general(
-            w, v_h,
-            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )                                    # (btK, dh)
-        ctx = jax.lax.dynamic_update_slice(ctx, ctx_h, (0, h * dh))
+        # ctx[n, d] = Σ_τ w[n, τ]·v[n, τ, d] — sublane-dim reduction.
+        ctx_h = jnp.sum(w[:, :, None] * v_h, axis=1)  # (btK, dh)
+        heads.append(ctx_h)
 
-    ctx_ref[:] = ctx.astype(ctx_ref.dtype)
+    ctx_ref[:] = jnp.concatenate(heads, axis=-1).astype(ctx_ref.dtype)
 
 
 def beam_self_attention(
@@ -199,54 +211,75 @@ def beam_self_attention(
 
 
 def _cross_attn_kernel(
-    q_ref,        # (bt·K, D)
-    ck_ref,       # (bt, S, D) cache dtype
-    cv_ref,       # (bt, S, D)
+    q_ref,        # (bt·K, dblk) — this head-block's query slice
+    ck_ref,       # (bt, S, dblk) cache dtype
+    cv_ref,       # (bt, S, dblk)
     mask_ref,     # (bt, S) float (1 = attend)
-    ctx_ref,      # out (bt·K, D)
-    w_ref,        # out (bt·K, S) head-averaged weights
+    ctx_ref,      # out (bt·K, dblk)
+    w_ref,        # out (bt·K, S) head-averaged weights, accumulated
+                  # across the head-block grid dim
     *,
-    num_heads: int,
+    num_heads: int,       # total heads (averaging divisor)
     num_beams: int,
+    heads_per_blk: int,
 ):
-    btK, D = q_ref.shape
+    btK, dblk = q_ref.shape
     K = num_beams
     bt = btK // K
     S = ck_ref.shape[1]
-    dh = D // num_heads
+    dh = dblk // heads_per_blk
     scale = 1.0 / math.sqrt(dh)
+    hb = pl.program_id(1)
 
-    q = q_ref[:].astype(jnp.float32).reshape(bt, K, D)
-    ck = ck_ref[:].astype(jnp.float32)   # (bt, S, D)
+    q = q_ref[:].astype(jnp.float32)     # (btK, dblk) — stays 2-D
+    ck = ck_ref[:].astype(jnp.float32)   # (bt, S, dblk)
     cv = cv_ref[:].astype(jnp.float32)
-    mask = mask_ref[:] > 0               # (bt, S)
+    # HBM reads stay un-expanded ((bt, S, dblk) per grid step — the win
+    # this kernel exists for); the K-fold beam expansion happens in VMEM
+    # along the UNTILED leading dim, per head, mirroring the self-attn
+    # kernel's shapes exactly — Mosaic rejects the layouts that a
+    # (bt, K, D) query reshape + middle-index produces, and its dot
+    # lowering is rank-2 only, so these batched matvecs are VPU multiply +
+    # reductions. The head-block grid dim keeps the double-buffered K/V
+    # blocks at 128 lanes (a full-D block at bt·K = 40 rows overflows the
+    # 16 MB scoped-VMEM stack).
+    maskb = jnp.broadcast_to(
+        mask_ref[:][:, None, :] > 0, (bt, K, S)
+    ).reshape(btK, S)
 
-    ctx = jnp.zeros((bt, K, D), jnp.float32)
-    w_mean = jnp.zeros((bt, K, S), jnp.float32)
-    for h in range(num_heads):
+    heads = []                           # each (btK, dh)
+    w_sum = jnp.zeros((btK, S), jnp.float32)
+    for h in range(heads_per_blk):
         sl = slice(h * dh, (h + 1) * dh)
-        q_h = q[:, :, sl]                # (bt, K, dh)
-        k_h = ck[:, :, sl]               # (bt, S, dh)
-        v_h = cv[:, :, sl]
-        scores = jax.lax.dot_general(
-            q_h, k_h,
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ) * scale                        # (bt, K, S)
-        scores = jnp.where(mask[:, None, :], scores, NEG_INF)
+        # Slice FIRST, newaxis after: `ck[:, None, :, sl]` in one indexing
+        # expression traces as a 3-D gather, which Mosaic cannot lower.
+        k_h = jnp.broadcast_to(
+            ck[:, :, sl][:, None], (bt, K, S, dh)).reshape(btK, S, dh)
+        v_h = jnp.broadcast_to(
+            cv[:, :, sl][:, None], (bt, K, S, dh)).reshape(btK, S, dh)
+        q_h = q[:, sl]                   # (btK, dh)
+        scores = jnp.sum(q_h[:, None, :] * k_h, axis=-1) * scale
+        scores = jnp.where(maskb, scores, NEG_INF)          # (btK, S)
         m = jnp.max(scores, axis=-1, keepdims=True)
         e = jnp.exp(scores - m)
         w = e / jnp.sum(e, axis=-1, keepdims=True)   # fp32 softmax in VMEM
-        ctx_h = jax.lax.dot_general(
-            w, v_h,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )                                # (bt, K, dh)
-        ctx = jax.lax.dynamic_update_slice(ctx, ctx_h, (0, 0, h * dh))
-        w_mean = w_mean + w
+        heads.append(jnp.sum(w[:, :, None] * v_h, axis=1))  # (btK, dh)
+        w_sum = w_sum + w
 
-    ctx_ref[:] = ctx.reshape(btK, D).astype(ctx_ref.dtype)
-    w_ref[:] = (w_mean / num_heads).reshape(btK, S).astype(w_ref.dtype)
+    ctx_ref[:] = (heads[0] if len(heads) == 1
+                  else jnp.concatenate(heads, axis=-1)).astype(ctx_ref.dtype)
+    # The head-block dim is innermost, so w_ref's block stays VMEM-resident
+    # across hb steps for a fixed batch block: init at hb == 0, accumulate
+    # after (fp32 partials are in w_sum; the output keeps q's dtype).
+    part = (w_sum / num_heads).astype(w_ref.dtype)
+
+    @pl.when(hb == 0)
+    def _():
+        w_ref[:] = part
+
+    @pl.when(hb != 0)
+    def _():
+        w_ref[:] = w_ref[:] + part
 
 
 def beam_cross_attention(
@@ -257,7 +290,8 @@ def beam_cross_attention(
     num_heads: int,
     num_beams: int,
     *,
-    block_b: int = 8,
+    block_b: int = 8,  # bt·K must be sublane-divisible (8); the head-block
+                       # grid dim keeps this within the 16 MB VMEM stack
     interpret: bool = False,
 ) -> Tuple[Array, Array]:
     """Fused one-query cross-attention (pre-``wo``): returns
@@ -269,30 +303,39 @@ def beam_cross_attention(
     B = N // K
     S = ck.shape[1]
     bt = _largest_divisor(B, block_b)
-    grid = (B // bt,)
+    dh = D // num_heads
+    # Head-block width: the smallest multiple of dh that fills the 128
+    # lanes (Mosaic requires block lane dims divisible by 128 or full-D).
+    if D % 128 == 0 and 128 % dh == 0:
+        heads_per_blk = 128 // dh
+    else:
+        heads_per_blk = num_heads        # full-D fallback (small models)
+    dblk = heads_per_blk * dh
+    grid = (B // bt, num_heads // heads_per_blk)  # hb innermost
     if encoder_mask is None:
         encoder_mask = jnp.ones((B, S), jnp.float32)
 
     kernel = functools.partial(
-        _cross_attn_kernel, num_heads=num_heads, num_beams=num_beams
+        _cross_attn_kernel, num_heads=num_heads, num_beams=num_beams,
+        heads_per_blk=heads_per_blk,
     )
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((bt * K, D), lambda i: (i, 0),
+            pl.BlockSpec((bt * K, dblk), lambda i, hb: (i, hb),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, S, D), lambda i: (i, 0, 0),
+            pl.BlockSpec((bt, S, dblk), lambda i, hb: (i, 0, hb),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, S, D), lambda i: (i, 0, 0),
+            pl.BlockSpec((bt, S, dblk), lambda i, hb: (i, 0, hb),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, S), lambda i: (i, 0),
+            pl.BlockSpec((bt, S), lambda i, hb: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((bt * K, D), lambda i: (i, 0),
+            pl.BlockSpec((bt * K, dblk), lambda i, hb: (i, hb),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt * K, S), lambda i: (i, 0),
+            pl.BlockSpec((bt * K, S), lambda i, hb: (i, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
