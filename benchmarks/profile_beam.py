@@ -34,6 +34,9 @@ def main() -> None:
                         help="transformer only: fused Pallas beam attention")
     parser.add_argument("--cache-bf16", action="store_true",
                         help="transformer only: bf16 KV-cache storage")
+    parser.add_argument("--ptopk", action="store_true",
+                        help="Pallas fused top-k+logsumexp in the beam "
+                             "expansion (kernels.use_pallas_topk)")
     args = parser.parse_args()
 
     import jax
@@ -48,6 +51,7 @@ def main() -> None:
     config.model.architecture = args.architecture
     config.kernels.transformer_fused_beam_attn = args.fused
     config.kernels.transformer_cache_bf16 = args.cache_bf16
+    config.kernels.use_pallas_topk = args.ptopk
     vocab_size = 10000
     B, T = args.batch, 80
     compute_dtype = (

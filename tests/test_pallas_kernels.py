@@ -163,6 +163,26 @@ def test_pallas_topk2d_irregular_rows_and_vocab_padding():
     assert int(np.asarray(i1).max()) < 200
 
 
+def test_pallas_topk2d_lse_matches_composite():
+    """Fused top-k+logsumexp kernel: values/indices bit-match lax.top_k
+    (same tie order), lse matches m + log(sum(exp(x - m))) to f32
+    reduction-order rounding, -inf padding columns contribute nothing."""
+    from video_captioning_tpu.ops.topk_pallas import topk2d_lse_pallas
+
+    rs = np.random.RandomState(2)
+    x = rs.randn(64, 512).astype(np.float32) * 3
+    x[5, 7] = x[5, 400] = 4.2  # tie
+    xp = np.pad(x, ((0, 0), (0, 128)), constant_values=float("-inf"))
+    for k in (1, 5):
+        v1, i1, lse1 = topk2d_lse_pallas(jnp.asarray(xp), k, interpret=True)
+        v2, i2 = jax.lax.top_k(jnp.asarray(x), k)
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        m = x.max(axis=1)
+        want = m + np.log(np.exp(x - m[:, None]).sum(axis=1))
+        np.testing.assert_allclose(np.asarray(lse1), want, rtol=1e-6)
+
+
 def test_beam_pallas_topk_flag_tokens_identical(tiny_config):
     """kernels.use_pallas_topk routes the beam expansion through topk2d;
     on CPU the gate falls back to lax.top_k, so the flag must be a strict

@@ -271,6 +271,23 @@ class KernelConfig:
     # parity gated in tests/test_pallas_kernels.py; token identity in
     # tests/test_transformer.py.
     transformer_fused_beam_attn: bool = False
+    # Keep the transformer beam decode state (residual stream, KV caches,
+    # cross-KV) natively bf16 under bf16 params instead of the round-3
+    # forced-fp32-state hybrid. The round-4 per-op profile showed the
+    # hybrid's cost: per-step f32<->bf16 conversion fusions of the
+    # cross-KV, per-step staging copies of the bf16 weights against f32
+    # activations, and packed-layout relayouts. With attention scores
+    # produced as f32 via preferred_element_type (models/transformer.py)
+    # the packed-softmax cliff that motivated the hybrid no longer
+    # applies. A/B'd on chip in benchmarks/ab_beam_flags.py.
+    transformer_bf16_beam_state: bool = False
+    # Route the int8 ResNet50's stride-1 1x1 convs through fused Pallas
+    # int8 matmul+requant kernels (ops/int8_matmul_pallas.py): the s32
+    # conv accumulator stays in VMEM and the dequant/residual/ReLU/requant
+    # epilogue is fused — targets the stage-1 requant fusions and
+    # s32-emitting 1x1-conv the round-3 int8 profile identified.
+    # A/B'd on chip (VERDICT r3 item 7); same math, parity gated in tests.
+    int8_conv1x1_pallas: bool = False
 
 
 @dataclass

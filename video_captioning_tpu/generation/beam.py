@@ -150,19 +150,26 @@ def beam_search_generate(
             # the streaming Pallas kernel (ops/topk_pallas.py), identical
             # values/tie order.
             if config.kernels.use_pallas_topk:
-                from ..ops.topk_pallas import topk2d
+                # Fused top-k + logsumexp: ONE pass over the (B·K, V)
+                # logits (the separate XLA lse fusion re-read them).
+                from ..ops.topk_pallas import topk2d_lse
 
-                top_logits, top_tokens = topk2d(logits32.reshape(B * K, V), kk)
+                top_logits, top_tokens, lse = topk2d_lse(
+                    logits32.reshape(B * K, V), kk
+                )
+                top_logits = top_logits.reshape(B, K, kk)
+                top_tokens = top_tokens.reshape(B, K, kk)
+                lse = lse.reshape(B, K)
             else:
                 top_logits, top_tokens = jax.lax.top_k(
                     logits32.reshape(B * K, V), kk
                 )
-            top_logits = top_logits.reshape(B, K, kk)
-            top_tokens = top_tokens.reshape(B, K, kk)
-            row_max = top_logits[..., 0]  # top-1 IS the row max
-            lse = row_max + jnp.log(
-                jnp.sum(jnp.exp(logits32 - row_max[..., None]), axis=-1)
-            )  # (B, K)
+                top_logits = top_logits.reshape(B, K, kk)
+                top_tokens = top_tokens.reshape(B, K, kk)
+                row_max = top_logits[..., 0]  # top-1 IS the row max
+                lse = row_max + jnp.log(
+                    jnp.sum(jnp.exp(logits32 - row_max[..., None]), axis=-1)
+                )  # (B, K)
         cand = scores[:, :, None] + (top_logits - lse[..., None])  # (B, K, kk)
         # Dead slots stay dead: their score is NEG_INF already, which
         # dominates every candidate they could propose.

@@ -171,7 +171,16 @@ def _transformer_family(
         and config.kernels.transformer_lazy_rebeam
         and config.parallel.context_axis is None
     )
-    if K > 1 and state_dtype == jnp.bfloat16 and not fused_attn:
+    if (K > 1 and state_dtype == jnp.bfloat16 and not fused_attn
+            and not config.kernels.transformer_bf16_beam_state):
+        # fp32 state INCLUDING an up-cast cross-KV. Keeping the cross-KV
+        # bf16 (query cast down, f32 scores via preferred_element_type)
+        # looked like it should remove the per-step f32<->bf16 conversion
+        # fusions the round-4 profile showed — measured on chip it LOST
+        # 16% instead (5,592 vs 6,639 clips/s; ab_beam_flags round 3):
+        # XLA schedules the f32-operand dots + overlapped conversion DMA
+        # better than the mixed-dtype schedule. Recorded negative; the
+        # up-cast stays.
         state_dtype = jnp.float32
         cross_kv = jax.tree_util.tree_map(
             lambda x: x.astype(jnp.float32), cross_kv
@@ -196,12 +205,13 @@ def _transformer_family(
     # gathering both (n_blocks, B·K, T, D) tensors.
     lazy = K > 1 and config.kernels.transformer_lazy_rebeam
     if lazy:
-        T_state = state0["k"].shape[2]
+        T_state = state0["k"].shape[1]  # (n_blocks, T, N, D) time-major
         state0 = dict(state0, anc=tr.init_beam_ancestry(B, K, T_state))
 
     def step(tokens, state, t):
         return tr.decode_step(
-            dec, config, tokens, state, t, cross_kv, encoder_mask
+            dec, config, tokens, state, t, cross_kv, encoder_mask,
+            state_dtype,
         )
 
     def step_beam(tokens_bk, state, t):
@@ -209,7 +219,7 @@ def _transformer_family(
         fn = tr.decode_step_beam if lazy else tr.decode_step
         return fn(
             dec, config, tokens_bk.reshape(b * k), state, t, cross_kv,
-            encoder_mask,
+            encoder_mask, state_dtype,
         )
 
     def step_beam_core(tokens_bk, state, t):
@@ -217,7 +227,7 @@ def _transformer_family(
         fn = tr.decode_step_beam_core if lazy else tr.decode_step_core
         return fn(
             dec, config, tokens_bk.reshape(b * k), state, t, cross_kv,
-            encoder_mask,
+            encoder_mask, state_dtype,
         )
 
     def rebeam(state, onehot):
@@ -235,14 +245,15 @@ def _transformer_family(
 
         # Physical rebeam (flag off): candidate n's prefix is old beam k's
         # prefix including the K/V row the step just wrote at position t,
-        # so the full (T, D) cache rows are selected per beam.
+        # so the full (T, D) cache rows are selected per beam. Caches are
+        # TIME-MAJOR (n_blocks, T, B·K, D) — see tr.init_decode_state.
         oh_f = onehot.astype(state["k"].dtype)
 
         def rb(x):
-            nb, _, T, D = x.shape
-            xr = x.reshape(nb, B_, Ko, T, D)
-            return jnp.einsum("bnk,lbktd->lbntd", oh_f, xr).reshape(
-                nb, B_ * Kn, T, D
+            nb, T, _, D = x.shape
+            xr = x.reshape(nb, T, B_, Ko, D)
+            return jnp.einsum("bnk,ltbkd->ltbnd", oh_f, xr).reshape(
+                nb, T, B_ * Kn, D
             )
 
         return {"k": rb(state["k"]), "v": rb(state["v"])}

@@ -354,7 +354,17 @@ def init_decode_state(
     params: dict, config: Config, batch: int, dtype,
     max_positions: Optional[int] = None, cache_dtype=None,
 ) -> Dict[str, Array]:
-    """Empty self-attention KV caches: (n_blocks, batch, T_max, D).
+    """Empty self-attention KV caches: (n_blocks, T_max, batch, D),
+    TIME-MAJOR.
+
+    Layout note (round-4 per-op profile, benchmarks/profile_beam.py): with
+    row-major (n_blocks, batch, T, D) caches the beam step's attention
+    dots want a T-major operand, so XLA materialized a per-layer slice +
+    head-split transpose copy of BOTH caches EVERY step (~400 µs/step at
+    B·K=1280 — the single largest non-matmul cost). Time-major storage
+    matches the layout the dot wants, the per-step row write
+    ``[layer, t]`` becomes one contiguous (batch, D) block instead of a
+    batch-strided scatter, and the slice+reshape folds into the dot.
 
     ``max_positions`` sizes the caches for a caller-requested decode length
     beyond the config default (positions past the learned-position table
@@ -384,8 +394,8 @@ def init_decode_state(
     D = config.model.decoder_hidden_dim
     cdt = dtype if cache_dtype is None else cache_dtype
     return {
-        "k": jnp.zeros((n_blocks, batch, T, D), cdt),
-        "v": jnp.zeros((n_blocks, batch, T, D), cdt),
+        "k": jnp.zeros((n_blocks, T, batch, D), cdt),
+        "v": jnp.zeros((n_blocks, T, batch, D), cdt),
     }
 
 
@@ -396,54 +406,48 @@ def _cached_self_attn(
     """One-query self-attention over the cache prefix.
 
     x: (N, D) current position's (pre-LN'd) activation; k/v_all: the
-    STACKED (n_blocks, N, T_max, D) caches — updated in place at
-    ``[layer, :, t, :]`` with a static layer index so XLA keeps the
-    dynamic-update-slice in the donated while-loop carry (the earlier
-    per-layer unstack + ``jnp.stack`` rebuilt both full cache tensors
-    every step: ~2x the cache HBM traffic at B·K=1280). Attends over
-    positions ≤ t. Returns (out (N, D), new_k_all, new_v_all).
+    STACKED (n_blocks, T_max, N, D) TIME-MAJOR caches (see
+    init_decode_state) — updated in place at ``[layer, t]`` with a static
+    layer index so XLA keeps the dynamic-update-slice in the donated
+    while-loop carry (the earlier per-layer unstack + ``jnp.stack``
+    rebuilt both full cache tensors every step: ~2x the cache HBM traffic
+    at B·K=1280), and the write is one contiguous (N, D) block. Attends
+    over positions ≤ t. Returns (out (N, D), new_k_all, new_v_all).
     """
-    _, N, T_max, D = k_all.shape
+    _, T_max, N, D = k_all.shape
     dh = D // heads
     cdt = k_all.dtype
     q = apply_linear(p["wq"], x)                       # (N, D)
     k_t = apply_linear(p["wk"], x)
     v_t = apply_linear(p["wv"], x)
     k_all = jax.lax.dynamic_update_slice(
-        k_all, k_t.astype(cdt)[None, :, None, :], (layer, 0, t, 0))
+        k_all, k_t.astype(cdt)[None, None, :, :], (layer, t, 0, 0))
     v_all = jax.lax.dynamic_update_slice(
-        v_all, v_t.astype(cdt)[None, :, None, :], (layer, 0, t, 0))
+        v_all, v_t.astype(cdt)[None, None, :, :], (layer, t, 0, 0))
 
     qh = q.reshape(N, heads, dh)
-    kh = k_all[layer].reshape(N, T_max, heads, dh)
-    vh = v_all[layer].reshape(N, T_max, heads, dh)
-    if cdt != q.dtype:
-        # Narrow cache storage (kernels.transformer_cache_bf16): cast the
-        # query to the cache dtype for the dot (the MXU would truncate
-        # the operands to bf16 under DEFAULT precision anyway) and keep
-        # fp32 accumulation explicitly.
-        scores = jnp.einsum("nhd,nthd->nht", qh.astype(cdt), kh,
-                            preferred_element_type=jnp.float32)
-    else:
-        scores = jnp.einsum("nhd,nthd->nht", qh, kh).astype(jnp.float32)
+    kh = k_all[layer].reshape(T_max, N, heads, dh)
+    vh = v_all[layer].reshape(T_max, N, heads, dh)
+    # Query cast to the cache dtype (the MXU truncates operands to bf16
+    # under DEFAULT precision anyway); f32 accumulation/output via
+    # preferred_element_type keeps the softmax on unpacked f32 layouts
+    # under bf16 state (see _cached_self_attn_beam). Bit-identical for f32.
+    scores = jnp.einsum("nhd,tnhd->nht", qh.astype(cdt), kh,
+                        preferred_element_type=jnp.float32)
     scores = scores / math.sqrt(dh)
     valid = jnp.arange(T_max)[None, None, :] <= t
     scores = jnp.where(valid, scores, NEG_INF)
     w = jax.nn.softmax(scores, axis=-1)
-    if cdt != q.dtype:
-        ctx = jnp.einsum("nht,nthd->nhd", w.astype(cdt), vh,
-                         preferred_element_type=x.dtype).reshape(N, D)
-    else:
-        ctx = jnp.einsum(
-            "nht,nthd->nhd", w.astype(vh.dtype), vh).reshape(N, D)
+    ctx = jnp.einsum("nht,tnhd->nhd", w.astype(cdt), vh,
+                     preferred_element_type=x.dtype).reshape(N, D)
     return apply_linear(p["wo"], ctx), k_all, v_all
 
 
 def _cached_self_attn_beam(
     p: dict,
     x: Array,            # (B·K, D) pre-LN'd activations, beam-major rows
-    k_all: Array,        # (n_blocks, B·K, T_max, D) PHYSICAL-slot caches
-    v_all: Array,
+    k_all: Array,        # (n_blocks, T_max, B·K, D) time-major
+    v_all: Array,        #   PHYSICAL-slot caches (see init_decode_state)
     layer: int,
     anc: Array,          # (B, K, T_max) int32 ancestry (col t = identity)
     t: Array,
@@ -466,7 +470,7 @@ def _cached_self_attn_beam(
     — the dominant HBM cost of the transformer beam step at B=256
     (86 ms/batch before this path; docs/PERFORMANCE.md round 3).
     """
-    _, N, T_max, D = k_all.shape
+    _, T_max, N, D = k_all.shape
     K = num_beams
     B = N // K
     dh = D // heads
@@ -475,21 +479,20 @@ def _cached_self_attn_beam(
     k_t = apply_linear(p["wk"], x)
     v_t = apply_linear(p["wv"], x)
     k_all = jax.lax.dynamic_update_slice(
-        k_all, k_t.astype(cdt)[None, :, None, :], (layer, 0, t, 0))
+        k_all, k_t.astype(cdt)[None, None, :, :], (layer, t, 0, 0))
     v_all = jax.lax.dynamic_update_slice(
-        v_all, v_t.astype(cdt)[None, :, None, :], (layer, 0, t, 0))
+        v_all, v_t.astype(cdt)[None, None, :, :], (layer, t, 0, 0))
 
     qh = q.reshape(B, K, heads, dh)
-    kh = k_all[layer].reshape(B, K, T_max, heads, dh)  # j = physical slot
-    vh = v_all[layer].reshape(B, K, T_max, heads, dh)
-    if cdt != q.dtype:
-        # Narrow cache storage (see _cached_self_attn): bf16 operands,
-        # explicit fp32 accumulation.
-        scores_all = jnp.einsum("bkhd,bjthd->bkhjt", qh.astype(cdt), kh,
-                                preferred_element_type=jnp.float32)
-    else:
-        scores_all = jnp.einsum(
-            "bkhd,bjthd->bkhjt", qh, kh).astype(jnp.float32)
+    kh = k_all[layer].reshape(T_max, B, K, heads, dh)  # j = physical slot
+    vh = v_all[layer].reshape(T_max, B, K, heads, dh)
+    # Query cast to the cache dtype (the MXU truncates operands to bf16
+    # under DEFAULT precision anyway), f32 MXU accumulation via
+    # preferred_element_type — NOT einsum().astype(f32), which under bf16
+    # state hands the select/softmax chain packed-layout bf16 operands
+    # (~4x-slower VPU path, round-3 profile). Bit-identical for f32.
+    scores_all = jnp.einsum("bkhd,tbjhd->bkhjt", qh.astype(cdt), kh,
+                            preferred_element_type=jnp.float32)
     scores_all = scores_all / math.sqrt(dh)
     onehot = (
         anc[:, :, :, None]
@@ -502,15 +505,10 @@ def _cached_self_attn_beam(
     scores = jnp.where(valid, scores, NEG_INF)
     w = jax.nn.softmax(scores, axis=-1)  # (B, K, h, T)
     w_phys = jnp.einsum("bkht,bktj->bkhtj", w, onehot.astype(jnp.float32))
-    if cdt != q.dtype:
-        ctx = jnp.einsum(
-            "bkhtj,bjthd->bkhd", w_phys.astype(cdt), vh,
-            preferred_element_type=x.dtype,
-        ).reshape(N, D)
-    else:
-        ctx = jnp.einsum(
-            "bkhtj,bjthd->bkhd", w_phys.astype(vh.dtype), vh
-        ).reshape(N, D)
+    ctx = jnp.einsum(
+        "bkhtj,tbjhd->bkhd", w_phys.astype(cdt), vh,
+        preferred_element_type=x.dtype,
+    ).reshape(N, D)
     return apply_linear(p["wo"], ctx), k_all, v_all
 
 
@@ -539,9 +537,9 @@ def _cached_self_attn_beam_fused(
     k_t = apply_linear(p["wk"], x)
     v_t = apply_linear(p["wv"], x)
     k_all = jax.lax.dynamic_update_slice(
-        k_all, k_t.astype(cdt)[None, :, None, :], (layer, 0, t, 0))
+        k_all, k_t.astype(cdt)[None, None, :, :], (layer, t, 0, 0))
     v_all = jax.lax.dynamic_update_slice(
-        v_all, v_t.astype(cdt)[None, :, None, :], (layer, 0, t, 0))
+        v_all, v_t.astype(cdt)[None, None, :, :], (layer, t, 0, 0))
     ctx = beam_self_attention(
         q, k_all, v_all, anc, t, layer, heads, num_beams,
         interpret=interpret,
@@ -588,13 +586,26 @@ def _cross_attn_step(
     q = apply_linear(p["wq"], x).reshape(B, K, heads, dh)
     kh = ck.reshape(B, S, heads, dh)
     vh = cv.reshape(B, S, heads, dh)
-    scores = jnp.einsum("bkhd,bshd->bkhs", q, kh).astype(jnp.float32)
+    # The query is cast DOWN to the K/V storage dtype (under the fp32-state
+    # beam hybrid the cross-KV stays bf16 — casting it UP would materialize
+    # a full f32 copy of both (B, S, D) tensors every step, the exact
+    # conversion-fusion churn the round-4 bf16 profile showed); the MXU
+    # truncates operands to bf16 under DEFAULT precision anyway.
+    # preferred_element_type=f32 (rather than einsum().astype(f32)): under
+    # bf16 activations a bf16-OUTPUT einsum hands the downstream softmax a
+    # packed-layout operand — XLA's packed bf16 softmax fusions measured
+    # ~4x slower (round 3); an f32-accumulating MXU output keeps the
+    # softmax on clean f32 layouts and is bit-identical for f32 inputs
+    # (DEFAULT precision already accumulates f32).
+    scores = jnp.einsum("bkhd,bshd->bkhs", q.astype(kh.dtype), kh,
+                        preferred_element_type=jnp.float32)
     scores = scores / math.sqrt(dh)
     if encoder_mask is not None:
         scores = jnp.where(
             encoder_mask[:, None, None, :] > 0, scores, NEG_INF)
     w = jax.nn.softmax(scores, axis=-1)  # (B, K, h, S)
-    ctx = jnp.einsum("bkhs,bshd->bkhd", w.astype(vh.dtype), vh)
+    ctx = jnp.einsum("bkhs,bshd->bkhd", w.astype(vh.dtype), vh,
+                     preferred_element_type=x.dtype)
     out = apply_linear(p["wo"], ctx.reshape(B * K, D))
     return out, jnp.mean(w, axis=2).reshape(B * K, S).astype(x.dtype)
 
@@ -625,7 +636,10 @@ def _cross_attn_step_cp(
         q = apply_linear(p["wq"], x).reshape(B, K, heads, dh)
         kh = ck_l.reshape(B, -1, heads, dh)
         vh = cv_l.reshape(B, -1, heads, dh)
-        scores = jnp.einsum("bkhd,bshd->bkhs", q, kh).astype(jnp.float32)
+        # Same dtype discipline as _cross_attn_step: query cast down to
+        # the K/V storage dtype, f32 scores via preferred_element_type.
+        scores = jnp.einsum("bkhd,bshd->bkhs", q.astype(kh.dtype), kh,
+                            preferred_element_type=jnp.float32)
         scores = scores / math.sqrt(dh)
         scores = jnp.where(mask_l[:, None, None, :] > 0, scores, NEG_INF)
         m_local = jnp.max(scores, axis=-1)
@@ -656,6 +670,7 @@ def decode_step_core(
     t: Array,                       # scalar int32 position
     cross_kv: Dict[str, Array],     # (n_blocks, B, S, D) each
     encoder_mask: Optional[Array],  # (B, S)
+    activation_dtype=None,          # residual-stream dtype override
 ) -> Tuple[Array, Dict[str, Array], Array]:
     """One incremental decode step up to the pre-vocab hidden state.
 
@@ -671,10 +686,12 @@ def decode_step_core(
     m = config.model
     heads = m.transformer_num_heads
     cp_axis = config.parallel.context_axis
-    # Activation dtype follows the cross-attention K/V (set by the family
-    # adapter), NOT the cache dtype: with transformer_cache_bf16 the
-    # caches are stored narrower than the residual stream.
-    dtype = cross_kv["k"].dtype
+    # Activation dtype: explicit override from the family adapter (the
+    # fp32-state beam hybrid keeps the residual stream f32 while the
+    # cross-KV stays bf16), else follows the cross-attention K/V. NOT the
+    # cache dtype: with transformer_cache_bf16 the caches are stored
+    # narrower than the residual stream.
+    dtype = activation_dtype or cross_kv["k"].dtype
 
     emb = jnp.take(params["embedding"]["table"], token_ids, axis=0)
     pos = jax.lax.dynamic_slice_in_dim(params["pos_embedding"], t, 1, axis=0)
@@ -714,11 +731,13 @@ def decode_step(
     t: Array,
     cross_kv: Dict[str, Array],
     encoder_mask: Optional[Array],
+    activation_dtype=None,
 ) -> Tuple[Array, Dict[str, Array], Array]:
     """One incremental decode step → (logits (N, V), new_state,
     cross-attention weights (N, S)). See decode_step_core."""
     x, new_state, cross_w = decode_step_core(
-        params, config, token_ids, state, t, cross_kv, encoder_mask
+        params, config, token_ids, state, t, cross_kv, encoder_mask,
+        activation_dtype,
     )
     logits = apply_linear(params["output_projection"], x)  # (N, V)
     return logits, new_state, cross_w
@@ -740,6 +759,7 @@ def decode_step_beam_core(
     t: Array,                       # scalar int32 position
     cross_kv: Dict[str, Array],     # (n_blocks, B, S, D) each
     encoder_mask: Optional[Array],  # (B, S)
+    activation_dtype=None,          # residual-stream dtype override
 ) -> Tuple[Array, Dict[str, Array], Array]:
     """Beam decode step with LAZY cache rebeaming (see
     ``_cached_self_attn_beam``): the carried caches stay physical-slot
@@ -750,7 +770,8 @@ def decode_step_beam_core(
     m = config.model
     heads = m.transformer_num_heads
     cp_axis = config.parallel.context_axis
-    dtype = cross_kv["k"].dtype  # activation dtype; see decode_step_core
+    # Activation dtype; see decode_step_core.
+    dtype = activation_dtype or cross_kv["k"].dtype
     B, K, _ = state["anc"].shape
     # Fused Pallas beam attention (ops/transformer_attn_pallas.py): one
     # pass per attention with fp32-in-VMEM softmax. CP keeps the shard_map
@@ -816,11 +837,13 @@ def decode_step_beam(
     t: Array,
     cross_kv: Dict[str, Array],
     encoder_mask: Optional[Array],
+    activation_dtype=None,
 ) -> Tuple[Array, Dict[str, Array], Array]:
     """Lazy-rebeam beam step → (logits (B·K, V), new_state, cross-attn
     weights (B·K, S)). See decode_step_beam_core."""
     x, new_state, cross_w = decode_step_beam_core(
-        params, config, token_ids, state, t, cross_kv, encoder_mask
+        params, config, token_ids, state, t, cross_kv, encoder_mask,
+        activation_dtype,
     )
     logits = apply_linear(params["output_projection"], x)
     return logits, new_state, cross_w

@@ -52,6 +52,20 @@ def _topk_kernel(x_ref, vals_ref, idx_ref, *, k: int):
     jax.lax.fori_loop(0, k, body, x_ref[:], unroll=True)
 
 
+def _topk_lse_kernel(x_ref, vals_ref, idx_ref, lse_ref, *, k: int):
+    """Top-k + per-row logsumexp in the same VMEM residency. The row block
+    is already resident for the k max/argmax passes; the logsumexp adds
+    one exp+reduce pass over it instead of a second full HBM read of the
+    logits by a separate XLA fusion (the beam loop needs lse every step
+    for log-softmax normalization, generation/beam.py)."""
+    x0 = x_ref[:]
+    m = jnp.max(x0, axis=1)  # (BM,) — also the top-1 value
+    lse_ref[:, 0] = m + jnp.log(
+        jnp.sum(jnp.exp(x0 - m[:, None]), axis=1)
+    )  # -inf pad columns contribute exp(-inf) = 0
+    _topk_kernel(x_ref, vals_ref, idx_ref, k=k)
+
+
 def topk2d_pallas(
     x: Array, k: int, block_rows: int = 64, interpret: bool = False
 ) -> Tuple[Array, Array]:
@@ -88,6 +102,72 @@ def topk2d_pallas(
         ),
     )(x)
     return vals, idx
+
+
+def topk2d_lse_pallas(
+    x: Array, k: int, block_rows: int = 64, interpret: bool = False
+) -> Tuple[Array, Array, Array]:
+    """(values, indices, logsumexp) over the last axis of a 2-D fp32
+    array in ONE pass over the logits. Values/indices match lax.top_k
+    bit-exactly (same tie order); lse matches
+    ``m + log(sum(exp(x - m)))`` up to f32 reduction-order rounding."""
+    N, V = x.shape
+    if N % block_rows != 0:
+        block_rows = next((t for t in (32, 16, 8) if N % t == 0), N)
+    grid = (N // block_rows,)
+
+    kernel = functools.partial(_topk_lse_kernel, k=k)
+    vals, idx, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_rows, V), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+        ],
+        out_specs=(
+            pl.BlockSpec((block_rows, k), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, k), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((N, k), x.dtype),
+            jax.ShapeDtypeStruct((N, k), jnp.int32),
+            jax.ShapeDtypeStruct((N, 1), jnp.float32),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=(3 * k + 3) * N * V, bytes_accessed=4 * N * V,
+            transcendentals=N * V,
+        ),
+    )(x)
+    return vals, idx, lse[:, 0]
+
+
+def topk2d_lse(x: Array, k: int) -> Tuple[Array, Array, Array]:
+    """Backend-adaptive fused top-k + logsumexp (see topk2d). Off-TPU
+    fallback computes lse the way generation/beam.py's XLA path does."""
+    if (
+        jax.default_backend() == "tpu"
+        and x.ndim == 2
+        and x.dtype == jnp.float32
+        and k <= 16
+        and k <= x.shape[1]
+    ):
+        V = x.shape[1]
+        v_pad = -(-V // 128) * 128
+        if v_pad != V:
+            x = jnp.pad(x, ((0, 0), (0, v_pad - V)),
+                        constant_values=_NEG_INF)
+        return topk2d_lse_pallas(x, k)
+    vals, idx = jax.lax.top_k(x, k)
+    row_max = vals[:, 0]
+    lse = row_max + jnp.log(
+        jnp.sum(jnp.exp(x - row_max[:, None]), axis=-1)
+    )
+    return vals, idx, lse
 
 
 def topk2d(x: Array, k: int) -> Tuple[Array, Array]:

@@ -42,8 +42,11 @@ NOT against DEFAULT (0.81 at sharpen=3 random init — that divergence is
 XLA's bf16-pass rounding flipping near-tie beam decisions, not kernel
 error).
 
-Layout notes: the grid tiles the batch axis; per grid step the working
-set is (block_b·K, T, D) cache blocks + (block_b·K, D) activations —
+Layout notes: the caches are TIME-MAJOR (n_blocks, T, B·K, D) — see
+init_decode_state; the kernel works T-leading throughout (selection,
+softmax statistics over axis 0), so it needs no in-kernel transposes.
+The grid tiles the batch axis; per grid step the working set is
+(T, block_b·K, D) cache blocks + (block_b·K, D) activations —
 ~2 MB fp32 at reference scale (block_b=8, K=5, T=21, D=512), well inside
 VMEM with double buffering. Every contraction here is a BATCHED MATVEC
 (each query row attends over its own cache rows), so there is no rank-2
@@ -87,9 +90,9 @@ def _largest_divisor(n: int, cap: int) -> int:
 def _self_attn_kernel(
     t_ref,        # SMEM (1, 1) int32 — current position
     q_ref,        # (bt·K, D) activations dtype
-    kc_ref,       # (1, bt·K, T, D) cache dtype (layer block of the stack)
-    vc_ref,       # (1, bt·K, T, D)
-    anc_ref,      # (bt, K, T) int32 ancestry
+    kc_ref,       # (1, T, bt·K, D) cache dtype (layer block, TIME-MAJOR)
+    vc_ref,       # (1, T, bt·K, D)
+    anc_ref,      # (T, bt, K) int32 ancestry (pre-transposed time-major)
     ctx_ref,      # out (bt·K, D) activations dtype
     *,
     num_heads: int,
@@ -98,36 +101,38 @@ def _self_attn_kernel(
     btK, D = q_ref.shape
     K = num_beams
     bt = btK // K
-    T = kc_ref.shape[2]
+    T = kc_ref.shape[1]
     dh = D // num_heads
     t = t_ref[0, 0]
 
-    kc = kc_ref[0]  # (btK, T, D)
+    kc = kc_ref[0]  # (T, btK, D)
     vc = vc_ref[0]
-    anc = anc_ref[:]  # (bt, K, T)
+    anc = anc_ref[:]  # (T, bt, K)
 
     # --- Selection first: gather each beam's prefix rows with the one-hot
     # ancestry (K-term multiply-accumulate; every physical row read once).
-    kc_b = kc.reshape(bt, K, T, D)
-    vc_b = vc.reshape(bt, K, T, D)
+    # Everything stays T-leading — the time-major cache layout means no
+    # in-kernel transposes at all.
+    kc_b = kc.reshape(T, bt, K, D)
+    vc_b = vc.reshape(T, bt, K, D)
     compute_dt = jnp.float32
-    kc_sel = jnp.zeros((bt, K, T, D), compute_dt)
-    vc_sel = jnp.zeros((bt, K, T, D), compute_dt)
+    kc_sel = jnp.zeros((T, bt, K, D), compute_dt)
+    vc_sel = jnp.zeros((T, bt, K, D), compute_dt)
     for j in range(K):
         # fp32 one-hot BEFORE the trailing-axis insert: Mosaic only
         # supports non-no-op minor-dim inserts for 32-bit types (i1/i8
         # variants fail to lower), and multiply-accumulate beats where()
         # for the same reason.
-        pick = (anc == j).astype(compute_dt)[:, :, :, None]  # (bt,K,T,1)
-        kc_sel = kc_sel + pick * kc_b[:, j][:, None].astype(compute_dt)
-        vc_sel = vc_sel + pick * vc_b[:, j][:, None].astype(compute_dt)
+        pick = (anc == j).astype(compute_dt)[:, :, :, None]  # (T,bt,K,1)
+        kc_sel = kc_sel + pick * kc_b[:, :, j].astype(compute_dt)[:, :, None]
+        vc_sel = vc_sel + pick * vc_b[:, :, j].astype(compute_dt)[:, :, None]
 
-    kc_sel = kc_sel.reshape(btK, T, D)
-    vc_sel = vc_sel.reshape(btK, T, D)
+    kc_sel = kc_sel.reshape(T, btK, D)
+    vc_sel = vc_sel.reshape(T, btK, D)
     q = q_ref[:].astype(compute_dt)
 
     valid = (
-        jax.lax.broadcasted_iota(jnp.int32, (btK, T), 1) <= t
+        jax.lax.broadcasted_iota(jnp.int32, (T, btK), 0) <= t
     )
     scale = 1.0 / math.sqrt(dh)
 
@@ -135,17 +140,17 @@ def _self_attn_kernel(
     for h in range(num_heads):
         sl = slice(h * dh, (h + 1) * dh)
         q_h = q[:, sl]                      # (btK, dh)
-        k_h = kc_sel[:, :, sl]              # (btK, T, dh)
+        k_h = kc_sel[:, :, sl]              # (T, btK, dh)
         v_h = vc_sel[:, :, sl]
-        # scores[n, τ] = Σ_d q[n, d]·k[n, τ, d] — batched matvec, so VPU
+        # scores[τ, n] = Σ_d q[n, d]·k[τ, n, d] — batched matvec, so VPU
         # multiply + lane-dim reduction (no rank-2 dot exists here).
-        scores = jnp.sum(q_h[:, None, :] * k_h, axis=-1) * scale  # (btK, T)
+        scores = jnp.sum(q_h[None, :, :] * k_h, axis=-1) * scale  # (T, btK)
         scores = jnp.where(valid, scores, NEG_INF)
-        m = jnp.max(scores, axis=-1, keepdims=True)
+        m = jnp.max(scores, axis=0, keepdims=True)
         e = jnp.exp(scores - m)
-        w = e / jnp.sum(e, axis=-1, keepdims=True)  # fp32 softmax in VMEM
-        # ctx[n, d] = Σ_τ w[n, τ]·v[n, τ, d] — sublane-dim reduction.
-        ctx_h = jnp.sum(w[:, :, None] * v_h, axis=1)  # (btK, dh)
+        w = e / jnp.sum(e, axis=0, keepdims=True)  # fp32 softmax in VMEM
+        # ctx[n, d] = Σ_τ w[τ, n]·v[τ, n, d] — leading-dim reduction.
+        ctx_h = jnp.sum(w[:, :, None] * v_h, axis=0)  # (btK, dh)
         heads.append(ctx_h)
 
     ctx_ref[:] = jnp.concatenate(heads, axis=-1).astype(ctx_ref.dtype)
@@ -153,8 +158,8 @@ def _self_attn_kernel(
 
 def beam_self_attention(
     q: Array,        # (B·K, D) current activations (post-wq? no: raw q proj)
-    k_all: Array,    # (n_blocks, B·K, T, D) stacked caches (row t written)
-    v_all: Array,
+    k_all: Array,    # (n_blocks, T, B·K, D) stacked time-major caches
+    v_all: Array,    #   (row t already written)
     anc: Array,      # (B, K, T) int32
     t: Array,        # scalar int32
     layer: int,
@@ -175,13 +180,16 @@ def beam_self_attention(
     N, D = q.shape
     K = num_beams
     B = N // K
-    T = k_all.shape[2]
+    T = k_all.shape[1]
     bt = _largest_divisor(B, block_b)
     grid = (B // bt,)
 
     kernel = functools.partial(
         _self_attn_kernel, num_heads=num_heads, num_beams=num_beams
     )
+    # Ancestry pre-transposed to (T, B, K) so the kernel is transpose-free
+    # (tiny int32 tensor; the XLA-side transpose is noise).
+    anc_t = jnp.transpose(anc.astype(jnp.int32), (2, 0, 1))
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -190,19 +198,18 @@ def beam_self_attention(
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((bt * K, D), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bt * K, T, D), lambda i: (layer, i, 0, 0),
+            pl.BlockSpec((1, T, bt * K, D), lambda i: (layer, 0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bt * K, T, D), lambda i: (layer, i, 0, 0),
+            pl.BlockSpec((1, T, bt * K, D), lambda i: (layer, 0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, K, T), lambda i: (i, 0, 0),
+            pl.BlockSpec((T, bt, K), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bt * K, D), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, D), q.dtype),
         interpret=interpret,
-    )(jnp.asarray(t, jnp.int32).reshape(1, 1), q, k_all, v_all,
-      anc.astype(jnp.int32))
+    )(jnp.asarray(t, jnp.int32).reshape(1, 1), q, k_all, v_all, anc_t)
 
 
 # ---------------------------------------------------------------------------
