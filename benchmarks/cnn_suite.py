@@ -158,9 +158,17 @@ def main():
         vgg_fp32, calibrate_vgg16_int8(vgg_fp32, calib, batch_size=64))
     ref_vgg = jax.jit(apply_vgg16)(vgg_fp32, calib)
 
+    # pallas1x1 arm: VERDICT r3 item 7 — the stride-1 1x1 convs (and the
+    # non-downsample residual joins) as fused Pallas int8 matmul+requant
+    # kernels (ops/int8_matmul_pallas.py), s32 accumulator never in HBM.
+    def apply_resnet50_int8_pallas(qp, x):
+        return apply_resnet50_int8(qp, x, use_pallas_1x1=True)
+
     int8_rows = {}
     for name, qp, apply_q, ref_feats in [
         ("resnet50", qp_resnet, apply_resnet50_int8, ref_resnet),
+        ("resnet50_pallas1x1", qp_resnet, apply_resnet50_int8_pallas,
+         ref_resnet),
         ("vgg16", qp_vgg, apply_vgg16_int8, ref_vgg),
     ]:
         @jax.jit

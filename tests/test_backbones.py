@@ -462,6 +462,42 @@ def test_resnet50_int8_feature_error_bounded():
     assert err["rel_l2"] < 0.12, err
 
 
+def test_resnet50_int8_pallas_1x1_matches_xla():
+    """kernels.int8_conv1x1_pallas routes the 1x1 convs through the fused
+    Pallas int8 matmul+requant kernels (ops/int8_matmul_pallas.py) — same
+    quantized weights, same epilogue op order. Exact bit-parity with the
+    XLA composite is unattainable (the epilogue's scale*acc+bias rounds
+    once under XLA's FMA and twice in the kernel — a 1-ulp f32 diff that
+    flips the occasional requant at a .5 boundary by +/-1 int8 step and
+    cascades through 16 blocks), so the gate is the int8 variant's own
+    quality contract: the Pallas features must track the fp32 folded
+    reference as closely as the XLA-int8 features do, and the two int8
+    paths must agree far inside the quantization-noise floor."""
+    from video_captioning_tpu.models.backbones.resnet import (
+        apply_resnet50_folded, fold_bn)
+    from video_captioning_tpu.models.backbones.resnet_int8 import (
+        apply_resnet50_int8, calibrate_resnet50_int8, feature_error,
+        quantize_resnet50_int8)
+
+    folded = fold_bn(_randomized_resnet_params())
+    rs = np.random.RandomState(5)
+    imgs = jnp.asarray(rs.randn(4, 64, 64, 3).astype(np.float32))
+    fp32_ref = apply_resnet50_folded(folded, imgs, use_pallas=False)
+    scales = calibrate_resnet50_int8(folded, imgs, batch_size=4)
+    qp = quantize_resnet50_int8(folded, scales)
+    ref = apply_resnet50_int8(qp, imgs)
+    got = apply_resnet50_int8(qp, imgs, use_pallas_1x1=True, interpret=True)
+    err_xla = feature_error(fp32_ref, ref)
+    err_pal = feature_error(fp32_ref, got)
+    # Same quality contract as test_resnet50_int8_feature_error_bounded,
+    # and no worse than the XLA int8 path beyond quantization noise.
+    assert err_pal["mean_cosine"] > 0.99, (err_pal, err_xla)
+    assert err_pal["rel_l2"] < 0.12, (err_pal, err_xla)
+    assert err_pal["rel_l2"] < err_xla["rel_l2"] + 0.02, (err_pal, err_xla)
+    cross = feature_error(ref, got)
+    assert cross["mean_cosine"] > 0.995, cross
+
+
 def test_feature_extractor_int8_variant():
     """variant="int8" lazily calibrates on the first batch and returns
     features close to the folded fp32 extractor's."""

@@ -236,7 +236,16 @@ class FeatureExtractor:
     def _finalize_int8(self, qp) -> None:
         """Build the jitted int8 extract program from a quantized tree."""
         if self.model_type == "resnet50":
-            from .resnet_int8 import apply_resnet50_int8 as apply_int8
+            import functools
+
+            from .resnet_int8 import apply_resnet50_int8
+
+            k = self.config.kernels if self.config is not None else None
+            apply_int8 = functools.partial(
+                apply_resnet50_int8,
+                use_pallas_1x1=bool(k and k.int8_conv1x1_pallas),
+                interpret=bool(k and k.interpret),
+            )
         else:
             from .vgg_int8 import apply_vgg16_int8 as apply_int8
         # Device-resident leaves: file loads hand us host numpy arrays,

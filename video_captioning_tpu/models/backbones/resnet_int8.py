@@ -208,12 +208,51 @@ def _deq(acc: Array, s_x: Array, w: Dict) -> Array:
     return acc.astype(jnp.float32) * (s_x * w["scale"]) + w["b"]
 
 
-def apply_resnet50_int8(qp: Dict, images: Array) -> Array:
+def _mm1x1(xq: Array, w: Dict, s_x: Array, s_out, relu: bool,
+           interpret: bool) -> Array:
+    """1x1 conv as the fused Pallas int8 matmul+requant kernel
+    (ops/int8_matmul_pallas.py): (B, H, W, Cin) int8 -> (B, H, W, Cout)
+    int8 (or f32 when s_out is None), the s32 accumulator never in HBM."""
+    from ...ops.int8_matmul_pallas import int8_matmul_requant
+
+    B, H, W, _ = xq.shape
+    wq = w["q"].reshape(w["q"].shape[-2], w["q"].shape[-1])  # (Cin, Cout)
+    out = int8_matmul_requant(
+        xq.reshape(B * H * W, -1), wq, s_x * w["scale"], w["b"],
+        s_out=s_out, relu=relu, interpret=interpret,
+    )
+    return out.reshape(B, H, W, -1)
+
+
+def _mm1x1_res(xq: Array, w: Dict, s_x: Array, idq: Array, s_id: Array,
+               s_out, interpret: bool) -> Array:
+    """conv3 + dequant + int8 identity join + ReLU + requant in one pass
+    (the identity path of non-downsample bottlenecks is already int8 at
+    the block-input scale)."""
+    from ...ops.int8_matmul_pallas import int8_matmul_residual_requant
+
+    B, H, W, _ = xq.shape
+    wq = w["q"].reshape(w["q"].shape[-2], w["q"].shape[-1])
+    out = int8_matmul_residual_requant(
+        xq.reshape(B * H * W, -1), wq, s_x * w["scale"], w["b"],
+        idq.reshape(B * H * W, -1), s_id, s_out=s_out, interpret=interpret,
+    )
+    return out.reshape(B, H, W, -1)
+
+
+def apply_resnet50_int8(
+    qp: Dict, images: Array, *, use_pallas_1x1: bool = False,
+    interpret: bool = False,
+) -> Array:
     """(B, 224, 224, 3) normalized fp32/bf16 -> (B, 2048) fp32 features.
 
     All inter-op activations are int8; dequant/requant ride the conv
     epilogue fusions (which are the bandwidth-bound ops this variant
-    exists to shrink)."""
+    exists to shrink). ``use_pallas_1x1``
+    (kernels.int8_conv1x1_pallas) routes the stride-1 1x1 convs through
+    the fused Pallas int8 matmul+requant kernels — same math, same
+    epilogue op order, no s32 accumulator in HBM (VERDICT r3 item 7
+    experiment; A/B in benchmarks/cnn_results.json)."""
     xq = _q(images.astype(jnp.float32), qp["s_stem_in"])
     acc = _conv_i8(xq, qp["conv1"]["q"], 2)
     x = jnp.maximum(_deq(acc, qp["s_stem_in"], qp["conv1"]), 0.0)
@@ -229,13 +268,46 @@ def apply_resnet50_int8(qp: Dict, images: Array) -> Array:
     for si, blocks in enumerate(qp["stages"]):
         for bi, block in enumerate(blocks):
             stride = 2 if (si > 0 and bi == 0) else 1
-            y = _deq(_conv_i8(xq, block["conv1"]["q"]), s_x, block["conv1"])
-            yq = _q(jnp.maximum(y, 0.0), block["s_y1"])
+            last = (bi + 1 == len(blocks)
+                    and si + 1 == len(qp["stages"]))
+            if bi + 1 < len(blocks):
+                s_next = blocks[bi + 1]["s_in"]
+            elif not last:
+                s_next = qp["stages"][si + 1][0]["s_in"]
+            else:
+                s_next = None  # final block feeds the fp32 pool directly
+
+            if use_pallas_1x1:
+                yq = _mm1x1(xq, block["conv1"], s_x, block["s_y1"],
+                            relu=True, interpret=interpret)
+            else:
+                y = _deq(_conv_i8(xq, block["conv1"]["q"]), s_x,
+                         block["conv1"])
+                yq = _q(jnp.maximum(y, 0.0), block["s_y1"])
             y = _deq(_conv_i8(yq, block["conv2"]["q"], stride),
                      block["s_y1"], block["conv2"])
             yq = _q(jnp.maximum(y, 0.0), block["s_y2"])
-            y = _deq(_conv_i8(yq, block["conv3"]["q"]),
-                     block["s_y2"], block["conv3"])
+            if use_pallas_1x1 and "downsample" not in block:
+                # Fused conv3 + int8 identity join + ReLU + requant: the
+                # identity is the block input, already int8 at scale s_x.
+                out_q_or_f32 = _mm1x1_res(
+                    yq, block["conv3"], block["s_y2"], xq, s_x, s_next,
+                    interpret=interpret,
+                )
+                if last:
+                    return jnp.mean(out_q_or_f32, axis=(1, 2))
+                s_x = s_next
+                xq = out_q_or_f32
+                continue
+            if use_pallas_1x1:
+                # Downsample block: conv3 still fused (f32 out, no
+                # accumulator in HBM); the join stays XLA because the
+                # downsampled identity is f32.
+                y = _mm1x1(yq, block["conv3"], block["s_y2"], None,
+                           relu=False, interpret=interpret)
+            else:
+                y = _deq(_conv_i8(yq, block["conv3"]["q"]),
+                         block["s_y2"], block["conv3"])
             if "downsample" in block:
                 identity = _deq(
                     _conv_i8(xq, block["downsample"]["q"], stride),
@@ -246,12 +318,9 @@ def apply_resnet50_int8(qp: Dict, images: Array) -> Array:
             out = jnp.maximum(y + identity, 0.0)
             # Requant to the next conv's input scale; the final block's
             # output goes straight to the fp32 pool (no requant loss).
-            if bi + 1 < len(blocks):
-                s_x = blocks[bi + 1]["s_in"]
-            elif si + 1 < len(qp["stages"]):
-                s_x = qp["stages"][si + 1][0]["s_in"]
-            else:
+            if last:
                 return jnp.mean(out, axis=(1, 2))
+            s_x = s_next
             xq = _q(out, s_x)
     raise AssertionError("unreachable: empty stage list")
 
