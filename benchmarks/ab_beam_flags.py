@@ -121,13 +121,13 @@ ARMS = [
     # as their ptopk_lse arms so clip_agreement_vs_base is computed for
     # them (the round-3 sweep ran the lse arms without bases — the prior
     # JSON rows carry speed but no agreement).
-    ("transformer", "float32", "base", {}),
+    ("transformer", "float32", "base", {"use_pallas_topk": False}),
     ("transformer", "float32", "ptopk_lse", {"use_pallas_topk": True}),
-    ("transformer", "bfloat16", "base", {}),
+    ("transformer", "bfloat16", "base", {"use_pallas_topk": False}),
     ("transformer", "bfloat16", "ptopk_lse", {"use_pallas_topk": True}),
-    ("lstm", "float32", "base", {}),
+    ("lstm", "float32", "base", {"use_pallas_topk": False}),
     ("lstm", "float32", "ptopk_lse", {"use_pallas_topk": True}),
-    ("lstm", "bfloat16", "base", {}),
+    ("lstm", "bfloat16", "base", {"use_pallas_topk": False}),
     ("lstm", "bfloat16", "ptopk_lse", {"use_pallas_topk": True}),
 ]
 

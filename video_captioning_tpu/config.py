@@ -210,11 +210,16 @@ class KernelConfig:
     # hierarchical XLA path at reference shapes (9161 vs 9183 clips/s,
     # docs/PERFORMANCE.md) — kept as infrastructure, default off.
     use_fused_vocab_topk: bool = False
-    # Streaming Pallas top-k (ops/topk_pallas.py) for the beam loop's
-    # (B·K, V) expansion in place of lax.top_k's TopK custom call.
+    # Streaming Pallas top-k + logsumexp (ops/topk_pallas.py) for the
+    # beam loop's (B·K, V) expansion in place of lax.top_k's TopK custom
+    # call + a separate logsumexp fusion (one pass over the logits).
     # Identical values/tie order; non-lane-multiple vocabs are padded
-    # with -inf inside. Default off pending an on-chip A/B at HEAD.
-    use_pallas_topk: bool = False
+    # with -inf inside; off-TPU the path falls back to lax.top_k exactly.
+    # Default ON: the at-HEAD chip A/B (benchmarks/ab_beam_flags.json,
+    # beam-5 B=256) measured +8.0% transformer fp32 / +6.4% bf16, +3.6%
+    # LSTM fp32 / +12.4% bf16, with clip_agreement_vs_base = 1.0 on all
+    # four arms.
+    use_pallas_topk: bool = True
     interpret: bool = False  # force interpreter mode (CPU testing)
     # Compute additive-attention scores (the profiled decode hot spot: 52M
     # tanh/step at reference scale) in bfloat16 while keeping softmax and
