@@ -205,7 +205,7 @@ def _transformer_family(
     # gathering both (n_blocks, B·K, T, D) tensors.
     lazy = K > 1 and config.kernels.transformer_lazy_rebeam
     if lazy:
-        T_state = state0["k"].shape[1]  # (n_blocks, T, N, D) time-major
+        T_state = state0["k"][0].shape[0]  # per-layer (T, N, D) time-major
         state0 = dict(state0, anc=tr.init_beam_ancestry(B, K, T_state))
 
     def step(tokens, state, t):
@@ -246,16 +246,19 @@ def _transformer_family(
         # Physical rebeam (flag off): candidate n's prefix is old beam k's
         # prefix including the K/V row the step just wrote at position t,
         # so the full (T, D) cache rows are selected per beam. Caches are
-        # TIME-MAJOR (n_blocks, T, B·K, D) — see tr.init_decode_state.
-        oh_f = onehot.astype(state["k"].dtype)
+        # per-layer TIME-MAJOR (T, B·K, D) leaves — see tr.init_decode_state.
+        oh_f = onehot.astype(state["k"][0].dtype)
 
         def rb(x):
-            nb, T, _, D = x.shape
-            xr = x.reshape(nb, T, B_, Ko, D)
-            return jnp.einsum("bnk,ltbkd->ltbnd", oh_f, xr).reshape(
-                nb, T, B_ * Kn, D
+            T, _, D = x.shape
+            xr = x.reshape(T, B_, Ko, D)
+            return jnp.einsum("bnk,tbkd->tbnd", oh_f, xr).reshape(
+                T, B_ * Kn, D
             )
 
-        return {"k": rb(state["k"]), "v": rb(state["v"])}
+        return {
+            "k": tuple(rb(x) for x in state["k"]),
+            "v": tuple(rb(x) for x in state["v"]),
+        }
 
     return DecodeFamily(state0, step, step_beam, step_beam_core, rebeam, True)

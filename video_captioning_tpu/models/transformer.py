@@ -354,17 +354,25 @@ def init_decode_state(
     params: dict, config: Config, batch: int, dtype,
     max_positions: Optional[int] = None, cache_dtype=None,
 ) -> Dict[str, Array]:
-    """Empty self-attention KV caches: (n_blocks, T_max, batch, D),
-    TIME-MAJOR.
+    """Empty self-attention KV caches: a TUPLE of PER-LAYER (T_max, batch,
+    D) TIME-MAJOR arrays under ``"k"`` / ``"v"``.
 
-    Layout note (round-4 per-op profile, benchmarks/profile_beam.py): with
-    row-major (n_blocks, batch, T, D) caches the beam step's attention
-    dots want a T-major operand, so XLA materialized a per-layer slice +
-    head-split transpose copy of BOTH caches EVERY step (~400 µs/step at
-    B·K=1280 — the single largest non-matmul cost). Time-major storage
-    matches the layout the dot wants, the per-step row write
-    ``[layer, t]`` becomes one contiguous (batch, D) block instead of a
-    batch-strided scatter, and the slice+reshape folds into the dot.
+    Layout notes (round-4 per-op profiles, benchmarks/profile_beam.py):
+
+    * TIME-MAJOR (T, batch, D), not (batch, T, D): with row-major caches
+      the beam step's attention dots want a T-major operand, so XLA
+      materialized a head-split transpose copy of BOTH caches EVERY step
+      (~400 µs/step at B·K=1280 — the single largest non-matmul cost).
+      Time-major storage matches the layout the dot wants and the
+      per-step row write at ``t`` becomes one contiguous (batch, D) block
+      instead of a batch-strided scatter.
+    * PER-LAYER LEAVES, not one stacked (n_blocks, T, batch, D) tensor:
+      the stacked form made XLA materialize the ``k_all[layer]`` slice as
+      a separate full-cache copy every step for every layer (profiled
+      ~35 µs × 2 caches × 2 layers = 140 µs/step at B·K=1280) before the
+      head-split reshape fed the score dot. Separate carry leaves keep
+      the static-layer indexing in Python, the dynamic-update-slice stays
+      donated in the while-loop carry, and the slice op never exists.
 
     ``max_positions`` sizes the caches for a caller-requested decode length
     beyond the config default (positions past the learned-position table
@@ -394,40 +402,40 @@ def init_decode_state(
     D = config.model.decoder_hidden_dim
     cdt = dtype if cache_dtype is None else cache_dtype
     return {
-        "k": jnp.zeros((n_blocks, T, batch, D), cdt),
-        "v": jnp.zeros((n_blocks, T, batch, D), cdt),
+        "k": tuple(jnp.zeros((T, batch, D), cdt) for _ in range(n_blocks)),
+        "v": tuple(jnp.zeros((T, batch, D), cdt) for _ in range(n_blocks)),
     }
 
 
 def _cached_self_attn(
-    p: dict, x: Array, k_all: Array, v_all: Array, layer: int, t: Array,
+    p: dict, x: Array, k_lyr: Array, v_lyr: Array, t: Array,
     heads: int,
 ) -> Tuple[Array, Array, Array]:
     """One-query self-attention over the cache prefix.
 
-    x: (N, D) current position's (pre-LN'd) activation; k/v_all: the
-    STACKED (n_blocks, T_max, N, D) TIME-MAJOR caches (see
-    init_decode_state) — updated in place at ``[layer, t]`` with a static
-    layer index so XLA keeps the dynamic-update-slice in the donated
-    while-loop carry (the earlier per-layer unstack + ``jnp.stack``
-    rebuilt both full cache tensors every step: ~2x the cache HBM traffic
-    at B·K=1280), and the write is one contiguous (N, D) block. Attends
-    over positions ≤ t. Returns (out (N, D), new_k_all, new_v_all).
+    x: (N, D) current position's (pre-LN'd) activation; k/v_lyr: THIS
+    layer's (T_max, N, D) TIME-MAJOR cache (see init_decode_state) —
+    updated in place at row ``t`` so XLA keeps the dynamic-update-slice in
+    the donated while-loop carry (the earlier per-layer unstack +
+    ``jnp.stack`` rebuilt both full cache tensors every step: ~2x the
+    cache HBM traffic at B·K=1280), and the write is one contiguous
+    (N, D) block. Attends over positions ≤ t. Returns
+    (out (N, D), new_k_lyr, new_v_lyr).
     """
-    _, T_max, N, D = k_all.shape
+    T_max, N, D = k_lyr.shape
     dh = D // heads
-    cdt = k_all.dtype
+    cdt = k_lyr.dtype
     q = apply_linear(p["wq"], x)                       # (N, D)
     k_t = apply_linear(p["wk"], x)
     v_t = apply_linear(p["wv"], x)
-    k_all = jax.lax.dynamic_update_slice(
-        k_all, k_t.astype(cdt)[None, None, :, :], (layer, t, 0, 0))
-    v_all = jax.lax.dynamic_update_slice(
-        v_all, v_t.astype(cdt)[None, None, :, :], (layer, t, 0, 0))
+    k_lyr = jax.lax.dynamic_update_slice(
+        k_lyr, k_t.astype(cdt)[None, :, :], (t, 0, 0))
+    v_lyr = jax.lax.dynamic_update_slice(
+        v_lyr, v_t.astype(cdt)[None, :, :], (t, 0, 0))
 
     qh = q.reshape(N, heads, dh)
-    kh = k_all[layer].reshape(T_max, N, heads, dh)
-    vh = v_all[layer].reshape(T_max, N, heads, dh)
+    kh = k_lyr.reshape(T_max, N, heads, dh)
+    vh = v_lyr.reshape(T_max, N, heads, dh)
     # Query cast to the cache dtype (the MXU truncates operands to bf16
     # under DEFAULT precision anyway); f32 accumulation/output via
     # preferred_element_type keeps the softmax on unpacked f32 layouts
@@ -440,15 +448,14 @@ def _cached_self_attn(
     w = jax.nn.softmax(scores, axis=-1)
     ctx = jnp.einsum("nht,tnhd->nhd", w.astype(cdt), vh,
                      preferred_element_type=x.dtype).reshape(N, D)
-    return apply_linear(p["wo"], ctx), k_all, v_all
+    return apply_linear(p["wo"], ctx), k_lyr, v_lyr
 
 
 def _cached_self_attn_beam(
     p: dict,
     x: Array,            # (B·K, D) pre-LN'd activations, beam-major rows
-    k_all: Array,        # (n_blocks, T_max, B·K, D) time-major
-    v_all: Array,        #   PHYSICAL-slot caches (see init_decode_state)
-    layer: int,
+    k_lyr: Array,        # (T_max, B·K, D) time-major PHYSICAL-slot cache
+    v_lyr: Array,        #   for THIS layer (see init_decode_state)
     anc: Array,          # (B, K, T_max) int32 ancestry (col t = identity)
     t: Array,
     heads: int,
@@ -470,22 +477,22 @@ def _cached_self_attn_beam(
     — the dominant HBM cost of the transformer beam step at B=256
     (86 ms/batch before this path; docs/PERFORMANCE.md round 3).
     """
-    _, T_max, N, D = k_all.shape
+    T_max, N, D = k_lyr.shape
     K = num_beams
     B = N // K
     dh = D // heads
-    cdt = k_all.dtype
+    cdt = k_lyr.dtype
     q = apply_linear(p["wq"], x)
     k_t = apply_linear(p["wk"], x)
     v_t = apply_linear(p["wv"], x)
-    k_all = jax.lax.dynamic_update_slice(
-        k_all, k_t.astype(cdt)[None, None, :, :], (layer, t, 0, 0))
-    v_all = jax.lax.dynamic_update_slice(
-        v_all, v_t.astype(cdt)[None, None, :, :], (layer, t, 0, 0))
+    k_lyr = jax.lax.dynamic_update_slice(
+        k_lyr, k_t.astype(cdt)[None, :, :], (t, 0, 0))
+    v_lyr = jax.lax.dynamic_update_slice(
+        v_lyr, v_t.astype(cdt)[None, :, :], (t, 0, 0))
 
     qh = q.reshape(B, K, heads, dh)
-    kh = k_all[layer].reshape(T_max, B, K, heads, dh)  # j = physical slot
-    vh = v_all[layer].reshape(T_max, B, K, heads, dh)
+    kh = k_lyr.reshape(T_max, B, K, heads, dh)  # j = physical slot
+    vh = v_lyr.reshape(T_max, B, K, heads, dh)
     # Query cast to the cache dtype (the MXU truncates operands to bf16
     # under DEFAULT precision anyway), f32 MXU accumulation via
     # preferred_element_type — NOT einsum().astype(f32), which under bf16
@@ -509,15 +516,14 @@ def _cached_self_attn_beam(
         "bkhtj,tbjhd->bkhd", w_phys.astype(cdt), vh,
         preferred_element_type=x.dtype,
     ).reshape(N, D)
-    return apply_linear(p["wo"], ctx), k_all, v_all
+    return apply_linear(p["wo"], ctx), k_lyr, v_lyr
 
 
 def _cached_self_attn_beam_fused(
     p: dict,
     x: Array,
-    k_all: Array,
-    v_all: Array,
-    layer: int,
+    k_lyr: Array,
+    v_lyr: Array,
     anc: Array,
     t: Array,
     heads: int,
@@ -532,19 +538,19 @@ def _cached_self_attn_beam_fused(
     ``kernels.transformer_fused_beam_attn``."""
     from ..ops.transformer_attn_pallas import beam_self_attention
 
-    cdt = k_all.dtype
+    cdt = k_lyr.dtype
     q = apply_linear(p["wq"], x)
     k_t = apply_linear(p["wk"], x)
     v_t = apply_linear(p["wv"], x)
-    k_all = jax.lax.dynamic_update_slice(
-        k_all, k_t.astype(cdt)[None, None, :, :], (layer, t, 0, 0))
-    v_all = jax.lax.dynamic_update_slice(
-        v_all, v_t.astype(cdt)[None, None, :, :], (layer, t, 0, 0))
+    k_lyr = jax.lax.dynamic_update_slice(
+        k_lyr, k_t.astype(cdt)[None, :, :], (t, 0, 0))
+    v_lyr = jax.lax.dynamic_update_slice(
+        v_lyr, v_t.astype(cdt)[None, :, :], (t, 0, 0))
     ctx = beam_self_attention(
-        q, k_all, v_all, anc, t, layer, heads, num_beams,
+        q, k_lyr, v_lyr, anc, t, heads, num_beams,
         interpret=interpret,
     )
-    return apply_linear(p["wo"], ctx), k_all, v_all
+    return apply_linear(p["wo"], ctx), k_lyr, v_lyr
 
 
 def _cross_attn_step_fused(
@@ -697,11 +703,11 @@ def decode_step_core(
     pos = jax.lax.dynamic_slice_in_dim(params["pos_embedding"], t, 1, axis=0)
     x = emb.astype(dtype) + pos.astype(dtype)  # (N, D)
 
-    k_all, v_all, cross_w = state["k"], state["v"], None
+    ks, vs, cross_w = list(state["k"]), list(state["v"]), None
     for i, blk in enumerate(params["blocks"]):
-        h, k_all, v_all = _cached_self_attn(
+        h, ks[i], vs[i] = _cached_self_attn(
             blk["self_attn"], _apply_layer_norm(blk["ln1"], x),
-            k_all, v_all, i, t, heads,
+            ks[i], vs[i], t, heads,
         )
         x = x + h
         if cp_axis is not None:
@@ -719,7 +725,7 @@ def decode_step_core(
         x = x + _mlp(blk["mlp"], _apply_layer_norm(blk["ln3"], x))
 
     x = _apply_layer_norm(params["ln_f"], x)
-    new_state = dict(state, k=k_all, v=v_all)
+    new_state = dict(state, k=tuple(ks), v=tuple(vs))
     return x, new_state, cross_w
 
 
@@ -792,17 +798,17 @@ def decode_step_beam_core(
         t, axis=2,
     )
 
-    k_all, v_all, cross_w = state["k"], state["v"], None
+    ks, vs, cross_w = list(state["k"]), list(state["v"]), None
     for i, blk in enumerate(params["blocks"]):
         if fused:
-            h, k_all, v_all = _cached_self_attn_beam_fused(
+            h, ks[i], vs[i] = _cached_self_attn_beam_fused(
                 blk["self_attn"], _apply_layer_norm(blk["ln1"], x),
-                k_all, v_all, i, anc, t, heads, K, interpret,
+                ks[i], vs[i], anc, t, heads, K, interpret,
             )
         else:
-            h, k_all, v_all = _cached_self_attn_beam(
+            h, ks[i], vs[i] = _cached_self_attn_beam(
                 blk["self_attn"], _apply_layer_norm(blk["ln1"], x),
-                k_all, v_all, i, anc, t, heads, K,
+                ks[i], vs[i], anc, t, heads, K,
             )
         x = x + h
         if cp_axis is not None:
@@ -826,7 +832,7 @@ def decode_step_beam_core(
         x = x + _mlp(blk["mlp"], _apply_layer_norm(blk["ln3"], x))
 
     x = _apply_layer_norm(params["ln_f"], x)
-    return x, {"k": k_all, "v": v_all, "anc": anc}, cross_w
+    return x, {"k": tuple(ks), "v": tuple(vs), "anc": anc}, cross_w
 
 
 def decode_step_beam(

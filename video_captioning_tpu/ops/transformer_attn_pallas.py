@@ -42,8 +42,8 @@ NOT against DEFAULT (0.81 at sharpen=3 random init — that divergence is
 XLA's bf16-pass rounding flipping near-tie beam decisions, not kernel
 error).
 
-Layout notes: the caches are TIME-MAJOR (n_blocks, T, B·K, D) — see
-init_decode_state; the kernel works T-leading throughout (selection,
+Layout notes: the caches are PER-LAYER TIME-MAJOR (T, B·K, D) leaves —
+see init_decode_state; the kernel works T-leading throughout (selection,
 softmax statistics over axis 0), so it needs no in-kernel transposes.
 The grid tiles the batch axis; per grid step the working set is
 (T, block_b·K, D) cache blocks + (block_b·K, D) activations —
@@ -90,8 +90,8 @@ def _largest_divisor(n: int, cap: int) -> int:
 def _self_attn_kernel(
     t_ref,        # SMEM (1, 1) int32 — current position
     q_ref,        # (bt·K, D) activations dtype
-    kc_ref,       # (1, T, bt·K, D) cache dtype (layer block, TIME-MAJOR)
-    vc_ref,       # (1, T, bt·K, D)
+    kc_ref,       # (T, bt·K, D) cache dtype (this layer, TIME-MAJOR)
+    vc_ref,       # (T, bt·K, D)
     anc_ref,      # (T, bt, K) int32 ancestry (pre-transposed time-major)
     ctx_ref,      # out (bt·K, D) activations dtype
     *,
@@ -101,12 +101,12 @@ def _self_attn_kernel(
     btK, D = q_ref.shape
     K = num_beams
     bt = btK // K
-    T = kc_ref.shape[1]
+    T = kc_ref.shape[0]
     dh = D // num_heads
     t = t_ref[0, 0]
 
-    kc = kc_ref[0]  # (T, btK, D)
-    vc = vc_ref[0]
+    kc = kc_ref[:]  # (T, btK, D)
+    vc = vc_ref[:]
     anc = anc_ref[:]  # (T, bt, K)
 
     # --- Selection first: gather each beam's prefix rows with the one-hot
@@ -158,11 +158,10 @@ def _self_attn_kernel(
 
 def beam_self_attention(
     q: Array,        # (B·K, D) current activations (post-wq? no: raw q proj)
-    k_all: Array,    # (n_blocks, T, B·K, D) stacked time-major caches
-    v_all: Array,    #   (row t already written)
+    k_lyr: Array,    # (T, B·K, D) THIS layer's time-major cache
+    v_lyr: Array,    #   (row t already written)
     anc: Array,      # (B, K, T) int32
     t: Array,        # scalar int32
-    layer: int,
     num_heads: int,
     num_beams: int,
     *,
@@ -180,7 +179,7 @@ def beam_self_attention(
     N, D = q.shape
     K = num_beams
     B = N // K
-    T = k_all.shape[1]
+    T = k_lyr.shape[0]
     bt = _largest_divisor(B, block_b)
     grid = (B // bt,)
 
@@ -198,9 +197,9 @@ def beam_self_attention(
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((bt * K, D), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, bt * K, D), lambda i: (layer, 0, i, 0),
+            pl.BlockSpec((T, bt * K, D), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T, bt * K, D), lambda i: (layer, 0, i, 0),
+            pl.BlockSpec((T, bt * K, D), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((T, bt, K), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
@@ -209,7 +208,7 @@ def beam_self_attention(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, D), q.dtype),
         interpret=interpret,
-    )(jnp.asarray(t, jnp.int32).reshape(1, 1), q, k_all, v_all, anc_t)
+    )(jnp.asarray(t, jnp.int32).reshape(1, 1), q, k_lyr, v_lyr, anc_t)
 
 
 # ---------------------------------------------------------------------------
