@@ -193,9 +193,13 @@ def _transformer_family(
     cache_dtype = (
         jnp.bfloat16 if config.kernels.transformer_cache_bf16 else None
     )
+    # Cache layout: stacked (n_blocks, T, N, D) for greedy/K=1, per-layer
+    # (T, N, D) tuple leaves for beam — each path's chip-measured faster
+    # layout (init_decode_state layout notes: beam +10.8% fp32 / +21% bf16
+    # per-layer; greedy −14% fp32 / −4% bf16 per-layer).
     state0 = tr.init_decode_state(
         dec, config, B * K, state_dtype, max_positions=max_length,
-        cache_dtype=cache_dtype,
+        cache_dtype=cache_dtype, stacked=(K == 1),
     )
     # Lazy (ancestry) rebeam: caches stay physical-slot indexed, the
     # per-step rebeam touches only a (B, K, T) int32 carry, and the beam
@@ -246,19 +250,25 @@ def _transformer_family(
         # Physical rebeam (flag off): candidate n's prefix is old beam k's
         # prefix including the K/V row the step just wrote at position t,
         # so the full (T, D) cache rows are selected per beam. Caches are
-        # per-layer TIME-MAJOR (T, B·K, D) leaves — see tr.init_decode_state.
-        oh_f = onehot.astype(state["k"][0].dtype)
+        # per-layer TIME-MAJOR (T, B·K, D) leaves for K>1, or one stacked
+        # (n_blocks, T, B·K, D) array at K=1 — see tr.init_decode_state.
+        per_layer = isinstance(state["k"], (tuple, list))
+        first = state["k"][0] if per_layer else state["k"]
+        oh_f = onehot.astype(first.dtype)
 
         def rb(x):
-            T, _, D = x.shape
-            xr = x.reshape(T, B_, Ko, D)
-            return jnp.einsum("bnk,tbkd->tbnd", oh_f, xr).reshape(
-                T, B_ * Kn, D
+            T, _, D = x.shape[-3:]
+            lead = x.shape[:-3]
+            xr = x.reshape(*lead, T, B_, Ko, D)
+            return jnp.einsum("bnk,...tbkd->...tbnd", oh_f, xr).reshape(
+                *lead, T, B_ * Kn, D
             )
 
-        return {
-            "k": tuple(rb(x) for x in state["k"]),
-            "v": tuple(rb(x) for x in state["v"]),
-        }
+        if per_layer:
+            return {
+                "k": tuple(rb(x) for x in state["k"]),
+                "v": tuple(rb(x) for x in state["v"]),
+            }
+        return {"k": rb(state["k"]), "v": rb(state["v"])}
 
     return DecodeFamily(state0, step, step_beam, step_beam_core, rebeam, True)

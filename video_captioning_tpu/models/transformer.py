@@ -353,11 +353,13 @@ def precompute_cross_kv(
 def init_decode_state(
     params: dict, config: Config, batch: int, dtype,
     max_positions: Optional[int] = None, cache_dtype=None,
+    stacked: bool = False,
 ) -> Dict[str, Array]:
-    """Empty self-attention KV caches: a TUPLE of PER-LAYER (T_max, batch,
-    D) TIME-MAJOR arrays under ``"k"`` / ``"v"``.
+    """Empty self-attention KV caches, TIME-MAJOR: a TUPLE of PER-LAYER
+    (T_max, batch, D) arrays under ``"k"`` / ``"v"`` by default, or — with
+    ``stacked=True`` — one (n_blocks, T_max, batch, D) array each.
 
-    Layout notes (round-4 per-op profiles, benchmarks/profile_beam.py):
+    Layout notes (round-4 chip A/Bs, benchmarks/transformer_results.json):
 
     * TIME-MAJOR (T, batch, D), not (batch, T, D): with row-major caches
       the beam step's attention dots want a T-major operand, so XLA
@@ -366,13 +368,17 @@ def init_decode_state(
       Time-major storage matches the layout the dot wants and the
       per-step row write at ``t`` becomes one contiguous (batch, D) block
       instead of a batch-strided scatter.
-    * PER-LAYER LEAVES, not one stacked (n_blocks, T, batch, D) tensor:
-      the stacked form made XLA materialize the ``k_all[layer]`` slice as
-      a separate full-cache copy every step for every layer (profiled
-      ~35 µs × 2 caches × 2 layers = 140 µs/step at B·K=1280) before the
-      head-split reshape fed the score dot. Separate carry leaves keep
-      the static-layer indexing in Python, the dynamic-update-slice stays
-      donated in the while-loop carry, and the slice op never exists.
+    * PER-LAYER vs STACKED is workload-dependent, so BOTH exist and each
+      decode path gets the layout that measured faster (B=256, fp32,
+      reference scale). BEAM wants per-layer leaves (+10.8% fp32 / +21%
+      bf16): the stacked form made XLA materialize the ``k_all[layer]``
+      slice as a separate full-cache copy every step for every layer
+      before the head-split reshape fed the score dot; separate carry
+      leaves keep the static-layer indexing in Python and the slice op
+      never exists. GREEDY wants the stacked form (per-layer leaves
+      measured −14% fp32 / −4% bf16 there: at K=1 XLA folds the layer
+      slice into the attention fusion for free, and the single
+      carried buffer schedules better than four).
 
     ``max_positions`` sizes the caches for a caller-requested decode length
     beyond the config default (positions past the learned-position table
@@ -401,6 +407,11 @@ def init_decode_state(
         )
     D = config.model.decoder_hidden_dim
     cdt = dtype if cache_dtype is None else cache_dtype
+    if stacked:
+        return {
+            "k": jnp.zeros((n_blocks, T, batch, D), cdt),
+            "v": jnp.zeros((n_blocks, T, batch, D), cdt),
+        }
     return {
         "k": tuple(jnp.zeros((T, batch, D), cdt) for _ in range(n_blocks)),
         "v": tuple(jnp.zeros((T, batch, D), cdt) for _ in range(n_blocks)),
@@ -449,6 +460,42 @@ def _cached_self_attn(
     ctx = jnp.einsum("nht,tnhd->nhd", w.astype(cdt), vh,
                      preferred_element_type=x.dtype).reshape(N, D)
     return apply_linear(p["wo"], ctx), k_lyr, v_lyr
+
+
+def _cached_self_attn_stacked(
+    p: dict, x: Array, k_all: Array, v_all: Array, layer: int, t: Array,
+    heads: int,
+) -> Tuple[Array, Array, Array]:
+    """STACKED-cache variant of :func:`_cached_self_attn`: k/v_all are the
+    (n_blocks, T_max, N, D) TIME-MAJOR caches, updated in place at
+    ``[layer, t]`` with a static layer index. This is the GREEDY (K=1)
+    decode layout — see init_decode_state's layout notes for the measured
+    per-layer-vs-stacked trade. Same math as the per-layer variant;
+    token-identity across the two layouts is pinned by the greedy-vs-beam
+    oracle gates in tests/test_transformer.py."""
+    _, T_max, N, D = k_all.shape
+    dh = D // heads
+    cdt = k_all.dtype
+    q = apply_linear(p["wq"], x)                       # (N, D)
+    k_t = apply_linear(p["wk"], x)
+    v_t = apply_linear(p["wv"], x)
+    k_all = jax.lax.dynamic_update_slice(
+        k_all, k_t.astype(cdt)[None, None, :, :], (layer, t, 0, 0))
+    v_all = jax.lax.dynamic_update_slice(
+        v_all, v_t.astype(cdt)[None, None, :, :], (layer, t, 0, 0))
+
+    qh = q.reshape(N, heads, dh)
+    kh = k_all[layer].reshape(T_max, N, heads, dh)
+    vh = v_all[layer].reshape(T_max, N, heads, dh)
+    scores = jnp.einsum("nhd,tnhd->nht", qh.astype(cdt), kh,
+                        preferred_element_type=jnp.float32)
+    scores = scores / math.sqrt(dh)
+    valid = jnp.arange(T_max)[None, None, :] <= t
+    scores = jnp.where(valid, scores, NEG_INF)
+    w = jax.nn.softmax(scores, axis=-1)
+    ctx = jnp.einsum("nht,tnhd->nhd", w.astype(cdt), vh,
+                     preferred_element_type=x.dtype).reshape(N, D)
+    return apply_linear(p["wo"], ctx), k_all, v_all
 
 
 def _cached_self_attn_beam(
@@ -703,12 +750,27 @@ def decode_step_core(
     pos = jax.lax.dynamic_slice_in_dim(params["pos_embedding"], t, 1, axis=0)
     x = emb.astype(dtype) + pos.astype(dtype)  # (N, D)
 
-    ks, vs, cross_w = list(state["k"]), list(state["v"]), None
+    # Cache layout dispatch — per-layer tuple leaves vs one stacked array;
+    # each decode path initializes the layout that measured faster on chip
+    # (see init_decode_state). Structure is static under jit.
+    stacked = not isinstance(state["k"], (tuple, list))
+    if stacked:
+        k_all, v_all = state["k"], state["v"]
+        ks, vs = [], []
+    else:
+        ks, vs = list(state["k"]), list(state["v"])
+    cross_w = None
     for i, blk in enumerate(params["blocks"]):
-        h, ks[i], vs[i] = _cached_self_attn(
-            blk["self_attn"], _apply_layer_norm(blk["ln1"], x),
-            ks[i], vs[i], t, heads,
-        )
+        if stacked:
+            h, k_all, v_all = _cached_self_attn_stacked(
+                blk["self_attn"], _apply_layer_norm(blk["ln1"], x),
+                k_all, v_all, i, t, heads,
+            )
+        else:
+            h, ks[i], vs[i] = _cached_self_attn(
+                blk["self_attn"], _apply_layer_norm(blk["ln1"], x),
+                ks[i], vs[i], t, heads,
+            )
         x = x + h
         if cp_axis is not None:
             h, cross_w = _cross_attn_step_cp(
@@ -725,7 +787,10 @@ def decode_step_core(
         x = x + _mlp(blk["mlp"], _apply_layer_norm(blk["ln3"], x))
 
     x = _apply_layer_norm(params["ln_f"], x)
-    new_state = dict(state, k=tuple(ks), v=tuple(vs))
+    if stacked:
+        new_state = dict(state, k=k_all, v=v_all)
+    else:
+        new_state = dict(state, k=tuple(ks), v=tuple(vs))
     return x, new_state, cross_w
 
 

@@ -89,23 +89,31 @@ def _largest_divisor(n: int, cap: int) -> int:
 
 def _self_attn_kernel(
     t_ref,        # SMEM (1, 1) int32 — current position
-    q_ref,        # (bt·K, D) activations dtype
-    kc_ref,       # (T, bt·K, D) cache dtype (this layer, TIME-MAJOR)
-    vc_ref,       # (T, bt·K, D)
+    q_ref,        # (bt·K, dblk) activations dtype (lane-block of D)
+    kc_ref,       # (T, bt·K, dblk) cache dtype (this layer, TIME-MAJOR)
+    vc_ref,       # (T, bt·K, dblk)
     anc_ref,      # (T, bt, K) int32 ancestry (pre-transposed time-major)
-    ctx_ref,      # out (bt·K, D) activations dtype
+    ctx_ref,      # out (bt·K, dblk) activations dtype
     *,
-    num_heads: int,
+    head_dim: int,
     num_beams: int,
 ):
-    btK, D = q_ref.shape
+    """One (batch-block, lane-block) grid step. ``dblk`` is a whole number
+    of heads, so each grid step's softmax+context is self-contained —
+    no cross-block accumulation (unlike the cross kernel's head-averaged
+    weights). The lane-block grid dim exists for scoped VMEM: full-D
+    blocks put the double-buffered K/V windows + the fp32 selection
+    accumulators over the 16 MB stack limit once the caches became
+    per-layer (T, N, D) operands (chip-measured 18.21M at
+    bt·K=40, T=21, D=512)."""
+    btK, dblk = q_ref.shape
     K = num_beams
     bt = btK // K
     T = kc_ref.shape[0]
-    dh = D // num_heads
+    dh = head_dim
     t = t_ref[0, 0]
 
-    kc = kc_ref[:]  # (T, btK, D)
+    kc = kc_ref[:]  # (T, btK, dblk)
     vc = vc_ref[:]
     anc = anc_ref[:]  # (T, bt, K)
 
@@ -113,11 +121,11 @@ def _self_attn_kernel(
     # ancestry (K-term multiply-accumulate; every physical row read once).
     # Everything stays T-leading — the time-major cache layout means no
     # in-kernel transposes at all.
-    kc_b = kc.reshape(T, bt, K, D)
-    vc_b = vc.reshape(T, bt, K, D)
+    kc_b = kc.reshape(T, bt, K, dblk)
+    vc_b = vc.reshape(T, bt, K, dblk)
     compute_dt = jnp.float32
-    kc_sel = jnp.zeros((T, bt, K, D), compute_dt)
-    vc_sel = jnp.zeros((T, bt, K, D), compute_dt)
+    kc_sel = jnp.zeros((T, bt, K, dblk), compute_dt)
+    vc_sel = jnp.zeros((T, bt, K, dblk), compute_dt)
     for j in range(K):
         # fp32 one-hot BEFORE the trailing-axis insert: Mosaic only
         # supports non-no-op minor-dim inserts for 32-bit types (i1/i8
@@ -127,8 +135,8 @@ def _self_attn_kernel(
         kc_sel = kc_sel + pick * kc_b[:, :, j].astype(compute_dt)[:, :, None]
         vc_sel = vc_sel + pick * vc_b[:, :, j].astype(compute_dt)[:, :, None]
 
-    kc_sel = kc_sel.reshape(T, btK, D)
-    vc_sel = vc_sel.reshape(T, btK, D)
+    kc_sel = kc_sel.reshape(T, btK, dblk)
+    vc_sel = vc_sel.reshape(T, btK, dblk)
     q = q_ref[:].astype(compute_dt)
 
     valid = (
@@ -137,7 +145,7 @@ def _self_attn_kernel(
     scale = 1.0 / math.sqrt(dh)
 
     heads = []
-    for h in range(num_heads):
+    for h in range(dblk // dh):
         sl = slice(h * dh, (h + 1) * dh)
         q_h = q[:, sl]                      # (btK, dh)
         k_h = kc_sel[:, :, sl]              # (T, btK, dh)
@@ -180,11 +188,23 @@ def beam_self_attention(
     K = num_beams
     B = N // K
     T = k_lyr.shape[0]
+    dh = D // num_heads
     bt = _largest_divisor(B, block_b)
-    grid = (B // bt,)
+    # Lane-block: a whole number of heads, <=128 lanes when possible, and a
+    # divisor of D — keeps the scoped-VMEM stack (double-buffered K/V
+    # windows + fp32 selection accumulators) under the 16 MB limit at
+    # reference scale (full-D blocks measured 18.21M on chip).
+    dblk = D
+    cand = (128 // dh) * dh if dh <= 128 else dh
+    while cand >= dh:
+        if D % cand == 0:
+            dblk = cand
+            break
+        cand -= dh
+    grid = (B // bt, D // dblk)
 
     kernel = functools.partial(
-        _self_attn_kernel, num_heads=num_heads, num_beams=num_beams
+        _self_attn_kernel, head_dim=dh, num_beams=num_beams
     )
     # Ancestry pre-transposed to (T, B, K) so the kernel is transpose-free
     # (tiny int32 tensor; the XLA-side transpose is noise).
@@ -193,18 +213,18 @@ def beam_self_attention(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i: (0, 0),
+            pl.BlockSpec((1, 1), lambda i, d: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((bt * K, D), lambda i: (i, 0),
+            pl.BlockSpec((bt * K, dblk), lambda i, d: (i, d),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, bt * K, D), lambda i: (0, i, 0),
+            pl.BlockSpec((T, bt * K, dblk), lambda i, d: (0, i, d),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, bt * K, D), lambda i: (0, i, 0),
+            pl.BlockSpec((T, bt * K, dblk), lambda i, d: (0, i, d),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, bt, K), lambda i: (0, i, 0),
+            pl.BlockSpec((T, bt, K), lambda i, d: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((bt * K, D), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((bt * K, dblk), lambda i, d: (i, d),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, D), q.dtype),
         interpret=interpret,
