@@ -117,18 +117,21 @@ def measure(config, params, dtype):
 # conversion churn. Round-2 numbers for comparison in the JSON history.
 ARMS = [
     # (architecture, dtype_name, arm_name, flags)
-    # Round-4 closing sweep: LSTM base arms re-run IN THE SAME invocation
-    # as their ptopk_lse arms so clip_agreement_vs_base is computed for
-    # them (the round-3 sweep ran the lse arms without bases — the prior
-    # JSON rows carry speed but no agreement).
-    ("transformer", "float32", "base", {"use_pallas_topk": False}),
-    ("transformer", "float32", "ptopk_lse", {"use_pallas_topk": True}),
-    ("transformer", "bfloat16", "base", {"use_pallas_topk": False}),
-    ("transformer", "bfloat16", "ptopk_lse", {"use_pallas_topk": True}),
-    ("lstm", "float32", "base", {"use_pallas_topk": False}),
-    ("lstm", "float32", "ptopk_lse", {"use_pallas_topk": True}),
-    ("lstm", "bfloat16", "base", {"use_pallas_topk": False}),
-    ("lstm", "bfloat16", "ptopk_lse", {"use_pallas_topk": True}),
+    # Round-4b sweep: cross-KV bf16 storage (transformer_cross_kv_bf16).
+    # The round-4 per-op profile showed XLA re-materializing f32→bf16
+    # operand-conversion copies of BOTH cross-attention K/V tensors every
+    # decode step (~24 ms/batch of the 28 ms beam loop at B=256); the
+    # flag hoists the conversion by storing them bf16 up front. "base" =
+    # HEAD defaults (pallas top-k on, per-path cache layouts). Prior
+    # sweeps' numbers are recorded in docs/PERFORMANCE.md; the closing
+    # round-4 ptopk sweep (all agreement 1.0) defaulted use_pallas_topk
+    # on (commit d5b98b9).
+    ("transformer", "float32", "base", {}),
+    ("transformer", "float32", "crosskv_bf16",
+     {"transformer_cross_kv_bf16": True}),
+    ("transformer", "bfloat16", "base", {}),
+    ("transformer", "bfloat16", "crosskv_bf16",
+     {"transformer_cross_kv_bf16": True}),
 ]
 
 

@@ -265,6 +265,19 @@ class KernelConfig:
     # in tests/test_transformer.py. Off by default: fp32 caches keep
     # decode bit-identical to the parallel teacher-forcing oracle.
     transformer_cache_bf16: bool = False
+    # Store the transformer decode CROSS-attention K/V (the per-layer
+    # (B, S, D) tensors precomputed once per generation call) in bfloat16.
+    # The round-4 per-op profile (benchmarks/profile_beam.py) showed that
+    # with fp32 storage XLA re-materializes f32→bf16 operand-conversion
+    # copies of BOTH tensors for the DEFAULT-precision attention dots
+    # EVERY decode step (~24 ms/batch of DMA at B=256 beam-5 — the loop
+    # itself is ~28 ms): the conversion is loop-invariant but never
+    # LICM-hoisted. bf16 storage hoists it by construction; the step
+    # already casts the query down to the K/V dtype with f32 MXU
+    # accumulation, so the dot sees the same bf16 operand values either
+    # way. Numeric change: only the stored K/V rounding. A/B in
+    # benchmarks/ab_beam_flags.py; token agreement gated in tests.
+    transformer_cross_kv_bf16: bool = False
     # Fused transformer beam-decode attention Pallas kernels
     # (ops/transformer_attn_pallas.py): the ancestry-select cached
     # self-attention and the one-query cross-attention each run as ONE

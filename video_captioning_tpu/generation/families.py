@@ -172,7 +172,8 @@ def _transformer_family(
         and config.parallel.context_axis is None
     )
     if (K > 1 and state_dtype == jnp.bfloat16 and not fused_attn
-            and not config.kernels.transformer_bf16_beam_state):
+            and not config.kernels.transformer_bf16_beam_state
+            and not config.kernels.transformer_cross_kv_bf16):
         # fp32 state INCLUDING an up-cast cross-KV. Keeping the cross-KV
         # bf16 (query cast down, f32 scores via preferred_element_type)
         # looked like it should remove the per-step f32<->bf16 conversion
@@ -185,6 +186,20 @@ def _transformer_family(
         cross_kv = jax.tree_util.tree_map(
             lambda x: x.astype(jnp.float32), cross_kv
         )
+    if config.kernels.transformer_cross_kv_bf16:
+        # Hoist XLA's per-step f32→bf16 operand-conversion copies of the
+        # cross K/V out of the decode loop by storing them bf16 up front
+        # (see the flag's config comment; under bf16 params this also
+        # supersedes the fp32 up-cast above). The step casts the query
+        # down and accumulates f32, so the dots see the same bf16
+        # operands either way; when K>1 the residual stream stays
+        # state_dtype via the explicit activation_dtype pass-through.
+        cross_kv = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16), cross_kv
+        )
+        if (K > 1 and state_dtype == jnp.bfloat16 and not fused_attn
+                and not config.kernels.transformer_bf16_beam_state):
+            state_dtype = jnp.float32
     # Narrow cache storage (kernels.transformer_cache_bf16): the caches —
     # the dominant per-step HBM read of the beam loop — are stored bf16
     # while the residual stream keeps state_dtype. The decode steps read

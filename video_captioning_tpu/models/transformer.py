@@ -332,21 +332,48 @@ def apply_transformer_decoder(
 
 
 def precompute_cross_kv(
-    params: dict, encoder_outputs: Array, num_heads: Optional[int] = None
+    params: dict, encoder_outputs: Array, num_heads: Optional[int] = None,
+    operand_layout: bool = False,
 ) -> Dict[str, Array]:
     """Cross-attention K/V for every decoder block, computed ONCE per
     generation call (analog of models/attention.precompute). Stacked
     (n_blocks, B, S, D); stays un-expanded across beams.
 
-    ``num_heads`` is accepted (and ignored) for call-site symmetry: a
-    head-major (n_blocks, B, h, S, dh) layout was A/B'd on chip and LOST
-    ~50% on the greedy path (XLA handles the in-loop head split of the
-    (B, S, D) form better than a pre-transposed operand; beam neutral) —
-    docs/PERFORMANCE.md round-3 negative results."""
+    ``operand_layout=True`` (requires ``num_heads``) instead returns
+    per-layer TUPLES of (B, h, dh, S) bfloat16 tensors — S-minor, the
+    exact operand layout AND dtype the decode loop's DEFAULT-precision
+    attention dots want (chip profile: XLA stages f32-stored cross-KV
+    through f32→bf16 {1,2,0}-relayout copies EVERY step). Pre-staging
+    removes that per-step conversion by construction; see
+    kernels.transformer_cross_kv_bf16 and _cross_attn_step_operand.
+
+    A plain head-major (n_blocks, B, h, S, dh) layout (num_heads accepted
+    but otherwise ignored for that call-site symmetry) was A/B'd on chip
+    round 3 and LOST ~50% on the greedy path (XLA handles the in-loop
+    head split of the (B, S, D) form better than a pre-transposed
+    operand; beam neutral), and plain bf16 storage in the (B, S, D) form
+    lost 28% on beam (round 4: without the relayout copies XLA runs the
+    dots on the unpacked storage layout) — docs/PERFORMANCE.md."""
     ks, vs = [], []
     for blk in params["blocks"]:
         ks.append(apply_linear(blk["cross_attn"]["wk"], encoder_outputs))
         vs.append(apply_linear(blk["cross_attn"]["wv"], encoder_outputs))
+    if operand_layout:
+        B, S, D = encoder_outputs.shape
+        h = num_heads
+        dh = D // h
+
+        def to_operand(x):
+            return (
+                x.reshape(B, S, h, dh)
+                .transpose(0, 2, 3, 1)
+                .astype(jnp.bfloat16)
+            )
+
+        return {
+            "k": tuple(to_operand(k) for k in ks),
+            "v": tuple(to_operand(v) for v in vs),
+        }
     return {"k": jnp.stack(ks), "v": jnp.stack(vs)}
 
 
@@ -663,6 +690,37 @@ def _cross_attn_step(
     return out, jnp.mean(w, axis=2).reshape(B * K, S).astype(x.dtype)
 
 
+def _cross_attn_step_operand(
+    p: dict,
+    x: Array,              # (N, D) pre-LN'd query activations
+    ck: Array,             # (B, h, dh, S) bf16 operand-layout keys
+    cv: Array,             # (B, h, dh, S) bf16 operand-layout values
+    encoder_mask: Optional[Array],  # (B, S)
+    heads: int,
+) -> Tuple[Array, Array]:
+    """Operand-layout variant of :func:`_cross_attn_step`: K/V arrive
+    pre-staged as (B, h, dh, S) bfloat16 (S-minor — see
+    precompute_cross_kv), so the score and context dots consume them
+    directly instead of XLA re-materializing f32→bf16 relayout copies of
+    both tensors every decode step. Same math: query cast down, f32 MXU
+    accumulation via preferred_element_type."""
+    B, h, dh, S = ck.shape
+    K = x.shape[0] // B
+    D = h * dh
+    q = apply_linear(p["wq"], x).reshape(B, K, h, dh)
+    scores = jnp.einsum("bkhd,bhds->bkhs", q.astype(ck.dtype), ck,
+                        preferred_element_type=jnp.float32)
+    scores = scores / math.sqrt(dh)
+    if encoder_mask is not None:
+        scores = jnp.where(
+            encoder_mask[:, None, None, :] > 0, scores, NEG_INF)
+    w = jax.nn.softmax(scores, axis=-1)  # (B, K, h, S)
+    ctx = jnp.einsum("bkhs,bhds->bkhd", w.astype(cv.dtype), cv,
+                     preferred_element_type=x.dtype)
+    out = apply_linear(p["wo"], ctx.reshape(B * K, D))
+    return out, jnp.mean(w, axis=2).reshape(B * K, S).astype(x.dtype)
+
+
 def _cross_attn_step_cp(
     p: dict,
     x: Array,              # (N, D) pre-LN'd query activations, replicated
@@ -777,6 +835,13 @@ def decode_step_core(
                 blk["cross_attn"], _apply_layer_norm(blk["ln2"], x),
                 cross_kv["k"][i], cross_kv["v"][i], encoder_mask, heads,
                 cp_axis,
+            )
+        elif cross_kv["k"][i].ndim == 4:
+            # (B, h, dh, S) operand-layout cross-KV (precompute_cross_kv
+            # with operand_layout=True).
+            h, cross_w = _cross_attn_step_operand(
+                blk["cross_attn"], _apply_layer_norm(blk["ln2"], x),
+                cross_kv["k"][i], cross_kv["v"][i], encoder_mask, heads,
             )
         else:
             h, cross_w = _cross_attn_step(
