@@ -340,6 +340,109 @@ def test_cache_bf16_token_agreement(tr_config):
     )
 
 
+def test_cross_kv_bf16_token_agreement(tr_config):
+    """kernels.transformer_cross_kv_bf16 only rounds the stored cross-K/V
+    to bf16 (greedy: plain (B, S, D) cast; beam: the (B, h, dh, S)
+    operand-layout pre-staging — families.py routes each). The dots run on
+    bf16 operands under DEFAULT TPU precision either way, so at this scale
+    and seed greedy and beam tokens must agree with the flag off, and the
+    scores must be close. Pins the fixed-seed behavior, as for
+    transformer_cache_bf16 above."""
+    params, feats, enc_outs, final, mask = _setup(tr_config, B=4, key=7)
+    outs = {}
+    for flag in (False, True):
+        tr_config.kernels.transformer_cross_kv_bf16 = flag
+        try:
+            g = greedy_generate(
+                params, tr_config, enc_outs, final, START, END, 8, mask)
+            b = beam_search_generate(
+                params, tr_config, enc_outs, final, START, END, 8, mask,
+                beam_size=3, length_penalty=1.0,
+            )
+        finally:
+            tr_config.kernels.transformer_cross_kv_bf16 = False
+        outs[flag] = (g, b)
+    np.testing.assert_array_equal(
+        np.asarray(outs[False][0]["generated_tokens"]),
+        np.asarray(outs[True][0]["generated_tokens"]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(outs[False][1]["generated_tokens"]),
+        np.asarray(outs[True][1]["generated_tokens"]),
+    )
+    np.testing.assert_allclose(
+        np.asarray(outs[False][1]["all_scores"]),
+        np.asarray(outs[True][1]["all_scores"]),
+        rtol=0, atol=0.02,
+    )
+
+
+def test_beam_params_f32_upcast_token_agreement(tr_config):
+    """kernels.transformer_beam_params_f32 upcasts bf16 decoder params to
+    fp32 for the beam loop (once per call). Weight VALUES are unchanged,
+    so at this scale and seed the beam tokens must agree with the flag
+    off, and greedy (which never upcasts) must be unaffected."""
+    params, feats, enc_outs, final, mask = _setup(tr_config, B=4, key=9)
+    params_bf16 = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        params,
+    )
+    enc_bf16, final_bf16, _ = captioner.encode(
+        params_bf16, tr_config, feats.astype(jnp.bfloat16))
+    outs = {}
+    for flag in (False, True):
+        tr_config.kernels.transformer_beam_params_f32 = flag
+        try:
+            b = beam_search_generate(
+                params_bf16, tr_config, enc_bf16, final_bf16, START, END, 8,
+                mask, beam_size=3, length_penalty=1.0,
+            )
+        finally:
+            tr_config.kernels.transformer_beam_params_f32 = True
+        outs[flag] = b
+    np.testing.assert_array_equal(
+        np.asarray(outs[False]["generated_tokens"]),
+        np.asarray(outs[True]["generated_tokens"]),
+    )
+    np.testing.assert_allclose(
+        np.asarray(outs[False]["all_scores"]),
+        np.asarray(outs[True]["all_scores"]),
+        rtol=0, atol=0.05,
+    )
+
+
+def test_cross_kv_operand_layout_matches_plain(tr_config):
+    """_cross_attn_step_operand over the (B, h, dh, S) pre-transposed K/V
+    must equal _cross_attn_step over the same values in (B, S, D) form —
+    layout is a performance decision, not a numeric one. Compared in f32
+    so the check isolates the transpose/reshape math (bf16 rounding
+    behavior is pinned by test_cross_kv_bf16_token_agreement)."""
+    params, feats, enc_outs, final, mask = _setup(tr_config, B=3, key=13)
+    heads = tr_config.model.transformer_num_heads
+    dec = params["decoder"]
+    blk = dec["blocks"][0]["cross_attn"]
+    B, S, D = enc_outs.shape
+    K = 4
+    dh = D // heads
+
+    ck = tr.apply_linear(blk["wk"], enc_outs)
+    cv = tr.apply_linear(blk["wv"], enc_outs)
+    x = jax.random.normal(jax.random.PRNGKey(21), (B * K, D))
+
+    out_plain, w_plain = tr._cross_attn_step(blk, x, ck, cv, mask, heads)
+
+    def to_operand(t):  # same transpose as precompute_cross_kv, minus bf16
+        return t.reshape(B, S, heads, dh).transpose(0, 2, 3, 1)
+
+    out_op, w_op = tr._cross_attn_step_operand(
+        blk, x, to_operand(ck), to_operand(cv), mask, heads)
+
+    np.testing.assert_allclose(
+        np.asarray(out_op), np.asarray(out_plain), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(w_op), np.asarray(w_plain), rtol=1e-5, atol=1e-5)
+
+
 def test_beam_fused_vocab_topk_path_transformer(tr_config):
     """The fused vocab-projection+top-k Pallas path (taken on TPU) must be
     token-identical to the XLA path for the transformer family too — its

@@ -265,18 +265,22 @@ class KernelConfig:
     # in tests/test_transformer.py. Off by default: fp32 caches keep
     # decode bit-identical to the parallel teacher-forcing oracle.
     transformer_cache_bf16: bool = False
-    # Store the transformer decode CROSS-attention K/V (the per-layer
-    # (B, S, D) tensors precomputed once per generation call) in bfloat16.
-    # The round-4 per-op profile (benchmarks/profile_beam.py) showed that
-    # with fp32 storage XLA re-materializes f32→bf16 operand-conversion
-    # copies of BOTH tensors for the DEFAULT-precision attention dots
-    # EVERY decode step (~24 ms/batch of DMA at B=256 beam-5 — the loop
-    # itself is ~28 ms): the conversion is loop-invariant but never
-    # LICM-hoisted. bf16 storage hoists it by construction; the step
-    # already casts the query down to the K/V dtype with f32 MXU
-    # accumulation, so the dot sees the same bf16 operand values either
-    # way. Numeric change: only the stored K/V rounding. A/B in
-    # benchmarks/ab_beam_flags.py; token agreement gated in tests.
+    # Store the transformer decode CROSS-attention K/V in bfloat16. On
+    # the beam path (K>1, non-fused) this pre-stages them in the
+    # (B, h, dh, S) OPERAND layout the decode loop's DEFAULT-precision
+    # attention dots consume (precompute_cross_kv operand_layout=True;
+    # _cross_attn_step_operand), targeting the per-step f32→bf16 relayout
+    # copies the round-4 profile showed. MEASURED NEGATIVE in every form
+    # (ab_beam_flags, beam-5 B=256, agreement 1.0): operand layout 6,183
+    # vs 8,838 clips/s f32 (−30%) and 6,193 vs 8,041 bf16 (−23%) — the
+    # head-split (B, h, dh, S) batching fragments the score/context dots
+    # into tiny per-(b,h) matmuls, costing far more than the conversion
+    # DMA it hoists (which XLA overlaps well); plain bf16 (B, S, D)
+    # storage lost ~28% (round 4); a head-major pre-transpose lost ~50%
+    # on greedy (round 3). Kept as gated, tested infrastructure for the
+    # record; the per-step conversions are instead attacked from the
+    # WEIGHT side (transformer_decode_weights_bf16 below), which is where
+    # the round-5 profile showed the un-overlapped cost. Default off.
     transformer_cross_kv_bf16: bool = False
     # Fused transformer beam-decode attention Pallas kernels
     # (ops/transformer_attn_pallas.py): the ancestry-select cached
@@ -299,6 +303,29 @@ class KernelConfig:
     # the packed-softmax cliff that motivated the hybrid no longer
     # applies. A/B'd on chip in benchmarks/ab_beam_flags.py.
     transformer_bf16_beam_state: bool = False
+    # Auto-upcast the transformer DECODER params to fp32 for beam decode
+    # when they arrive bf16 (VERDICT r4 item 2). Under bf16 params the
+    # beam loop measured SLOWER than fp32 (8,046 vs 8,846 clips/s at
+    # B=256 — round-4 transformer_results.json): the fp32-state hybrid
+    # re-stages bf16 weights against f32 activations every step. The
+    # upcast happens ONCE per generation call (~27M params, ~0.2 ms,
+    # amortized over the whole beam batch) and makes the loop the same
+    # program as the fp32 arm; values are the bf16 ones, just stored
+    # wide. Greedy keeps bf16 params (measured +48% there). Chip A/B in
+    # benchmarks/ab_beam_flags.json (beam_params_f32 arms).
+    transformer_beam_params_f32: bool = True
+    # Pre-cast the transformer decode loop's weight KERNELS to bf16 once
+    # per generation call (models/transformer.py:
+    # stage_decode_weights_bf16), greedy and beam. On TPU this is
+    # bit-identical to the plain f32 program — XLA's DEFAULT dot
+    # precision truncates operands to bf16 anyway — but hoists the
+    # weight-side f32→bf16 conversion copies the round-5 profile found
+    # INSIDE the while loop every step (block linears + chunked
+    # vocab-projection re-staging, several ms/batch at B=256 beam-5).
+    # Applied only when the backend is TPU; CPU keeps true-f32 dots so
+    # the CPU parity gates stay exact. Chip A/B in
+    # benchmarks/ab_beam_flags.json (wstage arms).
+    transformer_decode_weights_bf16: bool = True
     # Route the int8 ResNet50's stride-1 1x1 convs through fused Pallas
     # int8 matmul+requant kernels (ops/int8_matmul_pallas.py): the s32
     # conv accumulator stays in VMEM and the dequant/residual/ReLU/requant

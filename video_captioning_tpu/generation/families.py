@@ -153,10 +153,58 @@ def _transformer_family(
     from ..models import transformer as tr
 
     B = encoder_outputs.shape[0]
+    fused_attn = (
+        config.kernels.transformer_fused_beam_attn
+        and config.kernels.transformer_lazy_rebeam
+        and config.parallel.context_axis is None
+    )
+    # Beam decode under bf16 params: upcast the decoder weights to fp32
+    # ONCE per generation call (kernels.transformer_beam_params_f32).
+    # The fp32-state hybrid below otherwise re-stages the bf16 weights
+    # against f32 activations every step (round-4 profile: per-step
+    # bf16[512,512] copy-starts), and the bf16-params beam arm measured
+    # SLOWER than fp32 params (8,046 vs 8,846 clips/s, B=256). With the
+    # upcast the loop compiles to the same program as the fp32 arm;
+    # weight VALUES are unchanged (bf16 exactly representable in f32).
+    # Greedy (K=1) keeps bf16 params — measured +48% there.
+    if (K > 1 and config.kernels.transformer_beam_params_f32
+            and not config.kernels.transformer_bf16_beam_state
+            and dec["output_projection"].get("kernel") is not None
+            and dec["output_projection"]["kernel"].dtype == jnp.bfloat16):
+        dec = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.float32)
+            if x.dtype == jnp.bfloat16 else x,
+            dec,
+        )
+    # Weight staging (kernels.transformer_decode_weights_bf16): hoist the
+    # decode loop's per-step f32→bf16 weight conversions by pre-casting
+    # the in-loop kernels once — greedy and beam. Bit-identical ON TPU
+    # (DEFAULT dot precision truncates to bf16 anyway) — see
+    # stage_decode_weights_bf16. CPU keeps f32 so the CPU-run parity
+    # gates stay exact.
+    if (config.kernels.transformer_decode_weights_bf16
+            and not config.kernels.transformer_bf16_beam_state
+            and jax.default_backend() == "tpu"):
+        dec = tr.stage_decode_weights_bf16(dec)
     # Cross-attention K/V computed ONCE per generation call; stays
     # UN-expanded (B, S, D) — the decode step broadcasts over the beam
     # axis in-register (same HBM saving as the LSTM beam path).
-    cross_kv = tr.precompute_cross_kv(dec, encoder_outputs)
+    # kernels.transformer_cross_kv_bf16 (beam only): pre-stage the K/V in
+    # the (B, h, dh, S) bfloat16 OPERAND layout the decode loop's
+    # DEFAULT-precision attention dots want, hoisting XLA's per-step
+    # f32→bf16 relayout copies out of the loop by construction
+    # (precompute_cross_kv docstring; _cross_attn_step_operand). Greedy
+    # keeps the (B, S, D) form — a pre-transposed operand measured ~50%
+    # SLOWER there (round-3 A/B, precompute_cross_kv docstring). The
+    # fused-Pallas beam path keeps (B, S, D) too (its kernel stages K/V
+    # itself).
+    operand_kv = (
+        config.kernels.transformer_cross_kv_bf16 and K > 1 and not fused_attn
+    )
+    cross_kv = tr.precompute_cross_kv(
+        dec, encoder_outputs, config.model.transformer_num_heads,
+        operand_layout=operand_kv,
+    )
     # Beam decode state dtype: fp32 even under bf16 params. Measured on
     # chip (docs/PERFORMANCE.md round 3): with bf16 caches the beam loop's
     # cross-attention softmax fusions hit a 4x-slower packed-layout path
@@ -166,40 +214,29 @@ def _transformer_family(
     # hybrid. Greedy (K=1) keeps bf16 state: measured faster there
     # (6.7 vs 10.5 ms/batch).
     state_dtype = encoder_outputs.dtype
-    fused_attn = (
-        config.kernels.transformer_fused_beam_attn
-        and config.kernels.transformer_lazy_rebeam
-        and config.parallel.context_axis is None
-    )
     if (K > 1 and state_dtype == jnp.bfloat16 and not fused_attn
-            and not config.kernels.transformer_bf16_beam_state
-            and not config.kernels.transformer_cross_kv_bf16):
+            and not config.kernels.transformer_bf16_beam_state):
         # fp32 state INCLUDING an up-cast cross-KV. Keeping the cross-KV
-        # bf16 (query cast down, f32 scores via preferred_element_type)
-        # looked like it should remove the per-step f32<->bf16 conversion
-        # fusions the round-4 profile showed — measured on chip it LOST
-        # 16% instead (5,592 vs 6,639 clips/s; ab_beam_flags round 3):
-        # XLA schedules the f32-operand dots + overlapped conversion DMA
-        # better than the mixed-dtype schedule. Recorded negative; the
-        # up-cast stays.
+        # bf16 in the SAME (B, S, D) layout (query cast down, f32 scores
+        # via preferred_element_type) looked like it should remove the
+        # per-step f32<->bf16 conversion fusions the round-4 profile
+        # showed — measured on chip it LOST 16% instead (5,592 vs 6,639
+        # clips/s; ab_beam_flags round 3): XLA schedules the f32-operand
+        # dots + overlapped conversion DMA better than the mixed-dtype
+        # schedule. Recorded negative; the up-cast stays unless the
+        # operand-layout flag below supersedes it.
         state_dtype = jnp.float32
-        cross_kv = jax.tree_util.tree_map(
-            lambda x: x.astype(jnp.float32), cross_kv
-        )
-    if config.kernels.transformer_cross_kv_bf16:
-        # Hoist XLA's per-step f32→bf16 operand-conversion copies of the
-        # cross K/V out of the decode loop by storing them bf16 up front
-        # (see the flag's config comment; under bf16 params this also
-        # supersedes the fp32 up-cast above). The step casts the query
-        # down and accumulates f32, so the dots see the same bf16
-        # operands either way; when K>1 the residual stream stays
-        # state_dtype via the explicit activation_dtype pass-through.
+        if not operand_kv:
+            cross_kv = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.float32), cross_kv
+            )
+    if config.kernels.transformer_cross_kv_bf16 and not operand_kv:
+        # Greedy (K=1) arm of the flag: plain bf16 storage in the
+        # (B, S, D) form. The step casts the query down and accumulates
+        # f32, so the dots see the same bf16 operands either way.
         cross_kv = jax.tree_util.tree_map(
             lambda x: x.astype(jnp.bfloat16), cross_kv
         )
-        if (K > 1 and state_dtype == jnp.bfloat16 and not fused_attn
-                and not config.kernels.transformer_bf16_beam_state):
-            state_dtype = jnp.float32
     # Narrow cache storage (kernels.transformer_cache_bf16): the caches —
     # the dominant per-step HBM read of the beam loop — are stored bf16
     # while the residual stream keeps state_dtype. The decode steps read

@@ -102,7 +102,23 @@ def init_linear(
 def apply_linear(params: dict, x: Array) -> Array:
     if "kernel_q" in params:
         return int8_linear(params, x)
-    y = x @ params["kernel"]
+    w = params["kernel"]
+    if w.dtype == jnp.bfloat16 and x.dtype == jnp.float32:
+        # Pre-staged bf16 weights against an f32 stream (transformer beam
+        # decode weight staging, models/transformer.py:
+        # stage_decode_weights_bf16). Identical math ON TPU to the plain
+        # f32 dot: XLA's DEFAULT precision truncates both operands to
+        # bf16 and accumulates f32 anyway (round-4 profile: per-step
+        # f32→bf16 weight conversion copies inside the decode loop) —
+        # this form just hoists the weight-side conversion to staging
+        # time. f32 output via preferred_element_type; bias stays f32.
+        y = jax.lax.dot_general(
+            x.astype(jnp.bfloat16), w,
+            (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        y = x @ w
     if "bias" in params:
         y = y + params["bias"]
     return y

@@ -377,6 +377,53 @@ def precompute_cross_kv(
     return {"k": jnp.stack(ks), "v": jnp.stack(vs)}
 
 
+def stage_decode_weights_bf16(dec: dict) -> dict:
+    """Pre-cast the decode loop's weight KERNELS to bfloat16, once.
+
+    Targets exactly the matmuls that run INSIDE the per-step decode loop:
+    self-attention wq/wk/wv/wo, cross-attention wq/wo (wk/wv only run once
+    in precompute_cross_kv and stay f32), MLP fc1/fc2, and the vocab
+    output_projection. Biases, layer norms, embeddings and positions stay
+    f32.
+
+    Why: under XLA's DEFAULT dot precision every f32 matmul truncates its
+    operands to bf16 on the MXU anyway, and the round-5 per-op profile
+    showed the WEIGHT-side conversions happening inside the while loop
+    every step (bf16[512,512] copy-starts for the block linears and
+    chunked f32[10000,512] slice-starts re-staging the vocab projection —
+    several ms/batch of loop DMA at B=256 beam-5). Pre-casting produces a
+    bit-identical program on TPU (same bf16-rounded operands, same f32
+    accumulation — see layers.apply_linear's mixed path) minus the
+    per-step conversions. TPU-only by construction: callers gate on the
+    backend because on CPU (where DEFAULT precision is true f32) this
+    WOULD change numerics.
+
+    int8-quantized linears ("kernel_q") are left untouched.
+    """
+    def stage_linear(p: dict) -> dict:
+        if "kernel" not in p or p["kernel"].dtype != jnp.float32:
+            return p
+        return {**p, "kernel": p["kernel"].astype(jnp.bfloat16)}
+
+    blocks = []
+    for blk in dec["blocks"]:
+        blocks.append({
+            **blk,
+            "self_attn": {k: stage_linear(v)
+                          for k, v in blk["self_attn"].items()},
+            "cross_attn": {
+                k: (stage_linear(v) if k in ("wq", "wo") else v)
+                for k, v in blk["cross_attn"].items()
+            },
+            "mlp": {k: stage_linear(v) for k, v in blk["mlp"].items()},
+        })
+    return {
+        **dec,
+        "blocks": blocks,
+        "output_projection": stage_linear(dec["output_projection"]),
+    }
+
+
 def init_decode_state(
     params: dict, config: Config, batch: int, dtype,
     max_positions: Optional[int] = None, cache_dtype=None,
@@ -777,9 +824,14 @@ def decode_step_core(
     params: dict,
     config: Config,
     token_ids: Array,               # (N,) int32; N = B or B·K
-    state: Dict[str, Array],        # self-attn KV caches
+    state: Dict[str, Array],        # self-attn KV caches: stacked
+                                    #   (n_blocks, T, N, D) arrays OR
+                                    #   per-layer (T, N, D) tuple leaves
+                                    #   (see init_decode_state)
     t: Array,                       # scalar int32 position
-    cross_kv: Dict[str, Array],     # (n_blocks, B, S, D) each
+    cross_kv: Dict[str, Array],     # stacked (n_blocks, B, S, D) each, OR
+                                    #   per-layer (B, h, dh, S) tuples
+                                    #   (precompute_cross_kv operand form)
     encoder_mask: Optional[Array],  # (B, S)
     activation_dtype=None,          # residual-stream dtype override
 ) -> Tuple[Array, Dict[str, Array], Array]:
@@ -802,7 +854,9 @@ def decode_step_core(
     # cross-KV stays bf16), else follows the cross-attention K/V. NOT the
     # cache dtype: with transformer_cache_bf16 the caches are stored
     # narrower than the residual stream.
-    dtype = activation_dtype or cross_kv["k"].dtype
+    ck0 = (cross_kv["k"][0] if isinstance(cross_kv["k"], (tuple, list))
+           else cross_kv["k"])
+    dtype = activation_dtype or ck0.dtype
 
     emb = jnp.take(params["embedding"]["table"], token_ids, axis=0)
     pos = jax.lax.dynamic_slice_in_dim(params["pos_embedding"], t, 1, axis=0)
@@ -891,9 +945,13 @@ def decode_step_beam_core(
     params: dict,
     config: Config,
     token_ids: Array,               # (B·K,) int32, beam-major rows
-    state: Dict[str, Array],        # {"k", "v", "anc"} — lazy-rebeam state
+    state: Dict[str, Array],        # {"k", "v", "anc"}: per-layer
+                                    #   (T, B·K, D) tuple leaves + the
+                                    #   (B, K, T) ancestry carry
     t: Array,                       # scalar int32 position
-    cross_kv: Dict[str, Array],     # (n_blocks, B, S, D) each
+    cross_kv: Dict[str, Array],     # stacked (n_blocks, B, S, D) each, OR
+                                    #   per-layer (B, h, dh, S) tuples
+                                    #   (precompute_cross_kv operand form)
     encoder_mask: Optional[Array],  # (B, S)
     activation_dtype=None,          # residual-stream dtype override
 ) -> Tuple[Array, Dict[str, Array], Array]:
@@ -907,7 +965,9 @@ def decode_step_beam_core(
     heads = m.transformer_num_heads
     cp_axis = config.parallel.context_axis
     # Activation dtype; see decode_step_core.
-    dtype = activation_dtype or cross_kv["k"].dtype
+    ck0 = (cross_kv["k"][0] if isinstance(cross_kv["k"], (tuple, list))
+           else cross_kv["k"])
+    dtype = activation_dtype or ck0.dtype
     B, K, _ = state["anc"].shape
     # Fused Pallas beam attention (ops/transformer_attn_pallas.py): one
     # pass per attention with fp32-in-VMEM softmax. CP keeps the shard_map
@@ -946,6 +1006,14 @@ def decode_step_beam_core(
                 blk["cross_attn"], _apply_layer_norm(blk["ln2"], x),
                 cross_kv["k"][i], cross_kv["v"][i], encoder_mask, heads,
                 cp_axis,
+            )
+        elif cross_kv["k"][i].ndim == 4:
+            # (B, h, dh, S) operand-layout cross-KV (precompute_cross_kv
+            # with operand_layout=True; families.py gates it to the
+            # non-fused beam path).
+            h, cross_w = _cross_attn_step_operand(
+                blk["cross_attn"], _apply_layer_norm(blk["ln2"], x),
+                cross_kv["k"][i], cross_kv["v"][i], encoder_mask, heads,
             )
         elif fused:
             h, cross_w = _cross_attn_step_fused(

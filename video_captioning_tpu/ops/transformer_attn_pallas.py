@@ -193,7 +193,13 @@ def beam_self_attention(
     # Lane-block: a whole number of heads, <=128 lanes when possible, and a
     # divisor of D — keeps the scoped-VMEM stack (double-buffered K/V
     # windows + fp32 selection accumulators) under the 16 MB limit at
-    # reference scale (full-D blocks measured 18.21M on chip).
+    # reference scale (full-D blocks measured 18.21M on chip). Measured
+    # cost of the split (benchmarks/transformer_results.json, round 4):
+    # the fp32 one-hot ancestry selection re-runs once per lane block, and
+    # the fused beam path regressed ~13% vs its pre-lane-block form
+    # (2,349→2,031 clips/s f32, 2,379→2,044 bf16) — accepted as the price
+    # of fitting VMEM while the kernel stays default-off; hoist the
+    # selection per batch-block if this is ever defaulted on.
     dblk = D
     cand = (128 // dh) * dh if dh <= 128 else dh
     while cand >= dh:
