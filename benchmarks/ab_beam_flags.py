@@ -117,28 +117,62 @@ def measure(config, params, dtype):
 # conversion churn. Round-2 numbers for comparison in the JSON history.
 ARMS = [
     # (architecture, dtype_name, arm_name, flags)
-    # Round-4b sweep: cross-KV bf16 storage (transformer_cross_kv_bf16).
-    # The round-4 per-op profile showed XLA re-materializing f32→bf16
-    # operand-conversion copies of BOTH cross-attention K/V tensors every
-    # decode step (~24 ms/batch of the 28 ms beam loop at B=256); the
-    # flag hoists the conversion by storing them bf16 up front. "base" =
-    # HEAD defaults (pallas top-k on, per-path cache layouts). Prior
-    # sweeps' numbers are recorded in docs/PERFORMANCE.md; the closing
-    # round-4 ptopk sweep (all agreement 1.0) defaulted use_pallas_topk
-    # on (commit d5b98b9).
+    # Round-5 at-HEAD sweep (VERDICT r4 item 4): every arm is defined
+    # RELATIVE TO CURRENT DEFAULTS — "base" is the shipping config
+    # (pallas top-k ON, decode weight staging ON, beam params-f32 upcast
+    # ON, per-path cache layouts), and each default-ON flag gets an
+    # explicit *_off arm so the defaults' claimed wins are reproducible
+    # from this JSON alone. Known-negative opt-ins (crosskv_bf16, fvocab)
+    # are re-measured against the same base for a coherent record.
+    # Agreement expectations: wstage_off arms must agree 1.0 (the staging
+    # is bit-identical on TPU by construction — a sub-1.0 value here is a
+    # correctness bug, not noise); pf32_off under bf16 may diverge
+    # (different weight storage in the loop).
     ("transformer", "float32", "base", {}),
+    ("transformer", "float32", "wstage_off",
+     {"transformer_decode_weights_bf16": False}),
+    ("transformer", "float32", "ptopk_off", {"use_pallas_topk": False}),
     ("transformer", "float32", "crosskv_bf16",
      {"transformer_cross_kv_bf16": True}),
+    ("transformer", "float32", "fvocab", {"use_fused_vocab_topk": True}),
+    ("transformer", "float32", "cachebf16",
+     {"transformer_cache_bf16": True}),
     ("transformer", "bfloat16", "base", {}),
-    ("transformer", "bfloat16", "crosskv_bf16",
-     {"transformer_cross_kv_bf16": True}),
+    ("transformer", "bfloat16", "pf32_off",
+     {"transformer_beam_params_f32": False}),
+    ("transformer", "bfloat16", "wstage_off",
+     {"transformer_decode_weights_bf16": False}),
+    ("transformer", "bfloat16", "ptopk_off", {"use_pallas_topk": False}),
+    ("transformer", "bfloat16", "cachebf16",
+     {"transformer_cache_bf16": True}),
+    ("transformer", "bfloat16", "bf16state",
+     {"transformer_bf16_beam_state": True}),
+    ("lstm", "float32", "base", {}),
+    ("lstm", "float32", "wstage_off", {"lstm_decode_weights_bf16": False}),
+    ("lstm", "float32", "ptopk_off", {"use_pallas_topk": False}),
+    ("lstm", "bfloat16", "base", {}),
+    ("lstm", "bfloat16", "ptopk_off", {"use_pallas_topk": False}),
 ]
 
 
 def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", type=str, default=None,
+                    help="comma-separated arm-name substrings to run "
+                         "(base arms are always included for agreement); "
+                         "results MERGE into the existing JSON")
+    cli = ap.parse_args()
+    only = ([s.strip() for s in cli.only.split(",")] if cli.only else None)
+    arms = ARMS if only is None else [
+        a for a in ARMS
+        if a[2] == "base" or any(s in a[2] for s in only)
+    ]
+
     results = {}
     tokens = {}
-    for arch, dtype_name, arm, flags in ARMS:
+    for arch, dtype_name, arm, flags in arms:
         dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
         config, params = build(arch, dtype, flags)
         cps, per_batch, toks = measure(config, params, dtype)
@@ -162,11 +196,17 @@ def main() -> None:
               flush=True)
 
     out = Path(__file__).parent / "ab_beam_flags.json"
-    merged = {}
-    if out.exists():  # keep earlier rounds' arms; same-key rows refresh
+    # Full sweeps write FRESH: every row in the JSON is measured against
+    # the same at-HEAD base in one process, so no table built from it can
+    # mix arms defined against different defaults (the round-4 coherence
+    # problem VERDICT r4 item 4 called out). Incremental --only runs
+    # merge, re-measuring their base arms so agreement stays same-process.
+    # Historical sweeps live in docs/PERFORMANCE.md and git history.
+    if only is not None and out.exists():
         merged = json.loads(out.read_text())
-    merged.update(results)
-    out.write_text(json.dumps(merged, indent=2))
+        merged.update(results)
+        results = merged
+    out.write_text(json.dumps(results, indent=2))
     print(f"wrote {out}")
 
 

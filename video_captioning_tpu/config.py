@@ -326,6 +326,15 @@ class KernelConfig:
     # the CPU parity gates stay exact. Chip A/B in
     # benchmarks/ab_beam_flags.json (wstage arms).
     transformer_decode_weights_bf16: bool = True
+    # LSTM-family analog of transformer_decode_weights_bf16: pre-cast the
+    # LSTM decode loop's in-loop weight matrices (cell w_ih/w_hh, deep
+    # output, vocab projection, per-step attention linears) to bf16 once
+    # per generation call (models/decoder.py:stage_decode_weights_bf16).
+    # Bit-identical on TPU (DEFAULT dot precision), TPU-gated so the
+    # CPU-run reference-parity gates stay exact. Not applied when
+    # kernels.use_pallas_lstm drives the cell (that kernel manages its
+    # own operand staging). Chip A/B in benchmarks/ab_beam_flags.json.
+    lstm_decode_weights_bf16: bool = True
     # Route the int8 ResNet50's stride-1 1x1 convs through fused Pallas
     # int8 matmul+requant kernels (ops/int8_matmul_pallas.py): the s32
     # conv accumulator stays in VMEM and the dequant/residual/ReLU/requant

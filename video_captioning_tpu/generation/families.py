@@ -98,6 +98,18 @@ def _lstm_family(
         else encoder_final_state
     )
     state0 = decoder_mod.init_hidden_state(dec, config, enc_final)
+    # Decode weight staging (kernels.lstm_decode_weights_bf16): hoist the
+    # loop's per-step f32→bf16 weight conversions by pre-casting the
+    # in-loop matrices once — AFTER the attention precompute and the
+    # init-state projection above, which stay f32-exact. Bit-identical on
+    # TPU (DEFAULT dot precision truncates to bf16 anyway); CPU keeps f32
+    # so the reference greedy-parity gates stay exact. The opt-in Pallas
+    # cell stages its own operands, so the flag defers to it.
+    if (config.kernels.lstm_decode_weights_bf16
+            and not config.kernels.use_pallas_lstm
+            and not config.kernels.use_pallas_attention
+            and jax.default_backend() == "tpu"):
+        dec = decoder_mod.stage_decode_weights_bf16(dec)
 
     def step(tokens, state, t):
         return decoder_mod.decoder_step(

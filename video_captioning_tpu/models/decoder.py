@@ -94,6 +94,45 @@ def init_hidden_state(params: dict, config: Config, encoder_final_state: Array) 
     return h, c
 
 
+def stage_decode_weights_bf16(dec: dict) -> dict:
+    """Pre-cast the LSTM decode loop's weight matrices to bfloat16, once.
+
+    Same rationale as models/transformer.py:stage_decode_weights_bf16:
+    XLA's DEFAULT dot precision truncates f32 operands to bf16 on the MXU
+    anyway, but the conversion of the WEIGHTS happens inside the decode
+    while-loop every step. Targets the in-loop matmuls — LSTM cell
+    w_ih/w_hh, the deep-output ``context_projection``, the vocab
+    ``output_projection``, and the per-step attention linears (the
+    precompute-side projections run once outside the loop and are staged
+    harmlessly). Biases, embeddings and the init-state projection stay
+    f32. TPU-only by construction — callers gate on the backend because
+    CPU DEFAULT precision is true f32 (see layers.matmul_default).
+
+    int8-quantized linears ("kernel_q") are left untouched.
+    """
+    def sl(p):
+        if (isinstance(p, dict) and "kernel" in p
+                and p["kernel"].dtype == jnp.float32):
+            return {**p, "kernel": p["kernel"].astype(jnp.bfloat16)}
+        return p
+
+    def cell(layer):
+        out = dict(layer)
+        for k in ("w_ih", "w_hh"):
+            if out[k].dtype == jnp.float32:
+                out[k] = out[k].astype(jnp.bfloat16)
+        return out
+
+    out = dict(dec)
+    out["lstm"] = [cell(l) for l in dec["lstm"]]
+    for k in ("context_projection", "output_projection"):
+        if k in out:
+            out[k] = sl(out[k])
+    if "attention" in out:
+        out["attention"] = {k: sl(v) for k, v in out["attention"].items()}
+    return out
+
+
 def _lstm_stack_step(
     params: dict,
     config: Config,

@@ -99,26 +99,32 @@ def init_linear(
     return params
 
 
-def apply_linear(params: dict, x: Array) -> Array:
-    if "kernel_q" in params:
-        return int8_linear(params, x)
-    w = params["kernel"]
+def matmul_default(x: Array, w: Array) -> Array:
+    """``x @ w`` with XLA's DEFAULT-precision semantics made explicit for
+    pre-staged bf16 weights (decode weight staging —
+    models/transformer.py:stage_decode_weights_bf16 and
+    models/decoder.py:stage_decode_weights_bf16).
+
+    On TPU, a DEFAULT-precision f32 dot already truncates BOTH operands
+    to bf16 on the MXU and accumulates f32 — the round-4/5 profiles
+    showed the WEIGHT-side conversion copies happening inside the decode
+    while-loop every step. Staging casts the weights once; this helper
+    casts the (small) activation at the dot and accumulates f32, which is
+    bit-identical to the unstaged f32 program on TPU. Plain jnp ``@``
+    would instead UPCAST the bf16 weight back to f32 per step."""
     if w.dtype == jnp.bfloat16 and x.dtype == jnp.float32:
-        # Pre-staged bf16 weights against an f32 stream (transformer beam
-        # decode weight staging, models/transformer.py:
-        # stage_decode_weights_bf16). Identical math ON TPU to the plain
-        # f32 dot: XLA's DEFAULT precision truncates both operands to
-        # bf16 and accumulates f32 anyway (round-4 profile: per-step
-        # f32→bf16 weight conversion copies inside the decode loop) —
-        # this form just hoists the weight-side conversion to staging
-        # time. f32 output via preferred_element_type; bias stays f32.
-        y = jax.lax.dot_general(
+        return jax.lax.dot_general(
             x.astype(jnp.bfloat16), w,
             (((x.ndim - 1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-    else:
-        y = x @ w
+    return x @ w
+
+
+def apply_linear(params: dict, x: Array) -> Array:
+    if "kernel_q" in params:
+        return int8_linear(params, x)
+    y = matmul_default(x, params["kernel"])
     if "bias" in params:
         y = y + params["bias"]
     return y
@@ -247,7 +253,8 @@ def lstm_cell(
     Gate packing [i, f, g, o] along 4H (torch layout). All matmuls are MXU
     ops; the elementwise tail fuses into them under XLA.
     """
-    gates = x @ layer["w_ih"] + h @ layer["w_hh"] + layer["b_ih"] + layer["b_hh"]
+    gates = (matmul_default(x, layer["w_ih"]) + matmul_default(h, layer["w_hh"])
+             + layer["b_ih"] + layer["b_hh"])
     i, f, g, o = jnp.split(gates, 4, axis=-1)
     i = jax.nn.sigmoid(i)
     f = jax.nn.sigmoid(f)
