@@ -137,6 +137,8 @@ ARMS = [
     ("transformer", "float32", "fvocab", {"use_fused_vocab_topk": True}),
     ("transformer", "float32", "cachebf16",
      {"transformer_cache_bf16": True}),
+    ("transformer", "float32", "attnf32",
+     {"transformer_attn_dots_f32": True}),
     ("transformer", "bfloat16", "base", {}),
     ("transformer", "bfloat16", "pf32_off",
      {"transformer_beam_params_f32": False}),

@@ -124,6 +124,8 @@ def build_dataset(tmp: Path, feat_dim: int, rs: np.random.RandomState):
 
 
 def main():
+    import argparse
+
     import jax
 
     from video_captioning_tpu.config import Config
@@ -135,8 +137,19 @@ def main():
     from video_captioning_tpu.utils.checkpoint import CheckpointManager
     from video_captioning_tpu.utils.metrics import compute_metrics_multi_reference
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--architecture", default="lstm",
+                    choices=["lstm", "transformer"],
+                    help="model family for the rehearsal (VERDICT r4 "
+                         "item 6: the transformer goes through the same "
+                         "1450-clip pipeline + resume + checkpoint-GC run)")
+    args = ap.parse_args()
+
     tmp = Path(tempfile.mkdtemp(prefix="msvd_scale_"))
     config = Config()
+    config.model.architecture = args.architecture
+    if args.architecture == "transformer":
+        config.model.embedding_dim = config.model.decoder_hidden_dim
     # Reference MSVD hyperparameters (config.py:67-85) except epoch count
     # and lr: each epoch moves 7250 x 80 x 4096 bf16 features host->device,
     # and the dev tunnel caps that at ~25-50 MB/s (~3 min/epoch — on real
@@ -265,9 +278,11 @@ def main():
                     "tunnel RTT per step; test combos unseen in training",
         },
     }
+    out["_meta"]["architecture"] = args.architecture
     print(json.dumps(out, indent=2))
-    (Path(__file__).parent / "msvd_scale_run.json").write_text(
-        json.dumps(out, indent=2))
+    name = ("msvd_scale_run.json" if args.architecture == "lstm"
+            else f"msvd_scale_run_{args.architecture}.json")
+    (Path(__file__).parent / name).write_text(json.dumps(out, indent=2))
     shutil.rmtree(tmp)
 
 

@@ -34,9 +34,11 @@ def main() -> None:
                         help="transformer only: fused Pallas beam attention")
     parser.add_argument("--cache-bf16", action="store_true",
                         help="transformer only: bf16 KV-cache storage")
-    parser.add_argument("--ptopk", action="store_true",
-                        help="Pallas fused top-k+logsumexp in the beam "
-                             "expansion (kernels.use_pallas_topk)")
+    parser.add_argument("--no-ptopk", action="store_true",
+                        help="disable the (default-on) Pallas fused "
+                             "top-k+logsumexp (kernels.use_pallas_topk) so "
+                             "the profile matches shipping defaults unless "
+                             "asked otherwise")
     args = parser.parse_args()
 
     import jax
@@ -51,7 +53,7 @@ def main() -> None:
     config.model.architecture = args.architecture
     config.kernels.transformer_fused_beam_attn = args.fused
     config.kernels.transformer_cache_bf16 = args.cache_bf16
-    config.kernels.use_pallas_topk = args.ptopk
+    config.kernels.use_pallas_topk = not args.no_ptopk
     vocab_size = 10000
     B, T = args.batch, 80
     compute_dtype = (

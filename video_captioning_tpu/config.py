@@ -206,19 +206,25 @@ class KernelConfig:
     # 5043 -> 6266 fp32 (+24.3%) — docs/PERFORMANCE.md.
     use_pallas_lstm_seq_train: bool = True
     # Fused vocab-projection + top-k + logsumexp in the beam loop
-    # (ops/vocab_topk_pallas.py): TPU-only. Measured parity with the
-    # hierarchical XLA path at reference shapes (9161 vs 9183 clips/s,
-    # docs/PERFORMANCE.md) — kept as infrastructure, default off.
+    # (ops/vocab_topk_pallas.py): TPU-only. Measured SLOWER than the
+    # hierarchical XLA path at reference scale (round-5 at-HEAD A/B:
+    # transformer fp32 8,656 vs 9,018 clips/s, −4%; round-2 B=64 was
+    # neutral) — kept as infrastructure, default off. Beam tokens agree
+    # with the XLA path on ~97% of random-init clips, not 100%: the
+    # kernel's online logsumexp sums in a different order, which shifts a
+    # beam row's candidates uniformly and flips near-tied cross-beam
+    # selections — see the kernel docstring's exactness contract (top-k
+    # values/indices/tie order exact; lse to f32 rounding).
     use_fused_vocab_topk: bool = False
     # Streaming Pallas top-k + logsumexp (ops/topk_pallas.py) for the
     # beam loop's (B·K, V) expansion in place of lax.top_k's TopK custom
     # call + a separate logsumexp fusion (one pass over the logits).
     # Identical values/tie order; non-lane-multiple vocabs are padded
     # with -inf inside; off-TPU the path falls back to lax.top_k exactly.
-    # Default ON: the at-HEAD chip A/B (benchmarks/ab_beam_flags.json,
-    # beam-5 B=256) measured +8.0% transformer fp32 / +6.4% bf16, +3.6%
-    # LSTM fp32 / +12.4% bf16, with clip_agreement_vs_base = 1.0 on all
-    # four arms.
+    # Default ON: the round-5 at-HEAD chip A/B (benchmarks/
+    # ab_beam_flags.json ptopk_off arms, beam-5 B=256) measured +8.6%
+    # transformer fp32 / +8.6% bf16, +3.5% LSTM fp32 / +12.6% bf16, with
+    # clip_agreement_vs_base = 1.0 on all four arms.
     use_pallas_topk: bool = True
     interpret: bool = False  # force interpreter mode (CPU testing)
     # Compute additive-attention scores (the profiled decode hot spot: 52M
@@ -335,6 +341,18 @@ class KernelConfig:
     # kernels.use_pallas_lstm drives the cell (that kernel manages its
     # own operand staging). Chip A/B in benchmarks/ab_beam_flags.json.
     lstm_decode_weights_bf16: bool = True
+    # Run the transformer decode ATTENTION dots (cached self-attn scores/
+    # context, cross-attn scores/context) at Precision.HIGHEST — true-f32
+    # multi-pass MXU — instead of DEFAULT's bf16 truncation. Rationale:
+    # the decode-loop profile attributes most non-matmul time to XLA's
+    # per-step f32→bf16 operand-conversion copies of the cross-KV and
+    # caches; HIGHEST consumes the f32 operands DIRECTLY (no conversion),
+    # and at this scale the extra passes are noise (~0.4 GFLOP/step of
+    # attention dots vs 21 GFLOP of linears). Numerics: slightly MORE
+    # accurate than DEFAULT (never less); tokens may differ from the
+    # bf16-truncated path at near-ties. Chip A/B in ab_beam_flags.json
+    # (attnf32 arms).
+    transformer_attn_dots_f32: bool = False
     # Route the int8 ResNet50's stride-1 1x1 convs through fused Pallas
     # int8 matmul+requant kernels (ops/int8_matmul_pallas.py): the s32
     # conv accumulator stays in VMEM and the dequant/residual/ReLU/requant

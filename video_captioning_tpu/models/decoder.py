@@ -112,7 +112,14 @@ def stage_decode_weights_bf16(dec: dict) -> dict:
     """
     def sl(p):
         if (isinstance(p, dict) and "kernel" in p
-                and p["kernel"].dtype == jnp.float32):
+                and p["kernel"].dtype == jnp.float32
+                # Only MXU-shaped matmuls: XLA's DEFAULT bf16 truncation
+                # applies to dots it lowers onto the MXU. Narrow kernels
+                # (e.g. bahdanau's (A, 1) score vector) lower to f32 VPU
+                # fusions instead — staging those CHANGED tokens on chip
+                # (0.9922 agreement, ab_beam_flags round 5) and converts
+                # only KBs anyway, so they stay f32.
+                and min(p["kernel"].shape) >= 128):
             return {**p, "kernel": p["kernel"].astype(jnp.bfloat16)}
         return p
 

@@ -403,6 +403,13 @@ def stage_decode_weights_bf16(dec: dict) -> dict:
     def stage_linear(p: dict) -> dict:
         if "kernel" not in p or p["kernel"].dtype != jnp.float32:
             return p
+        if min(p["kernel"].shape) < 128:
+            # Narrow dots lower to f32 VPU fusions, not truncating MXU
+            # matmuls — staging them would change numerics (see
+            # decoder.stage_decode_weights_bf16). All current transformer
+            # decode kernels are >=512 wide; the guard keeps the
+            # bit-identity contract under future model-size knobs.
+            return p
         return {**p, "kernel": p["kernel"].astype(jnp.bfloat16)}
 
     blocks = []
@@ -494,7 +501,7 @@ def init_decode_state(
 
 def _cached_self_attn(
     p: dict, x: Array, k_lyr: Array, v_lyr: Array, t: Array,
-    heads: int,
+    heads: int, attn_f32: bool = False,
 ) -> Tuple[Array, Array, Array]:
     """One-query self-attention over the cache prefix.
 
@@ -525,20 +532,27 @@ def _cached_self_attn(
     # under DEFAULT precision anyway); f32 accumulation/output via
     # preferred_element_type keeps the softmax on unpacked f32 layouts
     # under bf16 state (see _cached_self_attn_beam). Bit-identical for f32.
-    scores = jnp.einsum("nhd,tnhd->nht", qh.astype(cdt), kh,
-                        preferred_element_type=jnp.float32)
+    # attn_f32 (kernels.transformer_attn_dots_f32): true-f32 multi-pass
+    # dots instead — no operand cast, no per-step f32→bf16 conversion
+    # copies of the cache; the extra MXU passes are noise at this scale.
+    prec = jax.lax.Precision.HIGHEST if attn_f32 else None
+    qd = qh if attn_f32 else qh.astype(cdt)
+    scores = jnp.einsum("nhd,tnhd->nht", qd, kh,
+                        preferred_element_type=jnp.float32, precision=prec)
     scores = scores / math.sqrt(dh)
     valid = jnp.arange(T_max)[None, None, :] <= t
     scores = jnp.where(valid, scores, NEG_INF)
     w = jax.nn.softmax(scores, axis=-1)
-    ctx = jnp.einsum("nht,tnhd->nhd", w.astype(cdt), vh,
-                     preferred_element_type=x.dtype).reshape(N, D)
+    wd = w if attn_f32 else w.astype(cdt)
+    ctx = jnp.einsum("nht,tnhd->nhd", wd, vh,
+                     preferred_element_type=x.dtype,
+                     precision=prec).reshape(N, D)
     return apply_linear(p["wo"], ctx), k_lyr, v_lyr
 
 
 def _cached_self_attn_stacked(
     p: dict, x: Array, k_all: Array, v_all: Array, layer: int, t: Array,
-    heads: int,
+    heads: int, attn_f32: bool = False,
 ) -> Tuple[Array, Array, Array]:
     """STACKED-cache variant of :func:`_cached_self_attn`: k/v_all are the
     (n_blocks, T_max, N, D) TIME-MAJOR caches, updated in place at
@@ -561,14 +575,18 @@ def _cached_self_attn_stacked(
     qh = q.reshape(N, heads, dh)
     kh = k_all[layer].reshape(T_max, N, heads, dh)
     vh = v_all[layer].reshape(T_max, N, heads, dh)
-    scores = jnp.einsum("nhd,tnhd->nht", qh.astype(cdt), kh,
-                        preferred_element_type=jnp.float32)
+    prec = jax.lax.Precision.HIGHEST if attn_f32 else None
+    qd = qh if attn_f32 else qh.astype(cdt)
+    scores = jnp.einsum("nhd,tnhd->nht", qd, kh,
+                        preferred_element_type=jnp.float32, precision=prec)
     scores = scores / math.sqrt(dh)
     valid = jnp.arange(T_max)[None, None, :] <= t
     scores = jnp.where(valid, scores, NEG_INF)
     w = jax.nn.softmax(scores, axis=-1)
-    ctx = jnp.einsum("nht,tnhd->nhd", w.astype(cdt), vh,
-                     preferred_element_type=x.dtype).reshape(N, D)
+    wd = w if attn_f32 else w.astype(cdt)
+    ctx = jnp.einsum("nht,tnhd->nhd", wd, vh,
+                     preferred_element_type=x.dtype,
+                     precision=prec).reshape(N, D)
     return apply_linear(p["wo"], ctx), k_all, v_all
 
 
@@ -581,6 +599,7 @@ def _cached_self_attn_beam(
     t: Array,
     heads: int,
     num_beams: int,
+    attn_f32: bool = False,
 ) -> Tuple[Array, Array, Array]:
     """Ancestry-indexed one-query self-attention for beam search.
 
@@ -619,8 +638,11 @@ def _cached_self_attn_beam(
     # preferred_element_type — NOT einsum().astype(f32), which under bf16
     # state hands the select/softmax chain packed-layout bf16 operands
     # (~4x-slower VPU path, round-3 profile). Bit-identical for f32.
-    scores_all = jnp.einsum("bkhd,tbjhd->bkhjt", qh.astype(cdt), kh,
-                            preferred_element_type=jnp.float32)
+    prec = jax.lax.Precision.HIGHEST if attn_f32 else None
+    qd = qh if attn_f32 else qh.astype(cdt)
+    scores_all = jnp.einsum("bkhd,tbjhd->bkhjt", qd, kh,
+                            preferred_element_type=jnp.float32,
+                            precision=prec)
     scores_all = scores_all / math.sqrt(dh)
     onehot = (
         anc[:, :, :, None]
@@ -633,9 +655,10 @@ def _cached_self_attn_beam(
     scores = jnp.where(valid, scores, NEG_INF)
     w = jax.nn.softmax(scores, axis=-1)  # (B, K, h, T)
     w_phys = jnp.einsum("bkht,bktj->bkhtj", w, onehot.astype(jnp.float32))
+    wd = w_phys if attn_f32 else w_phys.astype(cdt)
     ctx = jnp.einsum(
-        "bkhtj,tbjhd->bkhd", w_phys.astype(cdt), vh,
-        preferred_element_type=x.dtype,
+        "bkhtj,tbjhd->bkhd", wd, vh,
+        preferred_element_type=x.dtype, precision=prec,
     ).reshape(N, D)
     return apply_linear(p["wo"], ctx), k_lyr, v_lyr
 
@@ -703,6 +726,7 @@ def _cross_attn_step(
     cv: Array,             # (B, S, D) precomputed values
     encoder_mask: Optional[Array],  # (B, S)
     heads: int,
+    attn_f32: bool = False,
 ) -> Tuple[Array, Array]:
     """One-query cross-attention; N = B·K beams broadcast over the
     un-expanded (B, S, ·) encoder tensors. Returns (out (N, D),
@@ -724,15 +748,21 @@ def _cross_attn_step(
     # ~4x slower (round 3); an f32-accumulating MXU output keeps the
     # softmax on clean f32 layouts and is bit-identical for f32 inputs
     # (DEFAULT precision already accumulates f32).
-    scores = jnp.einsum("bkhd,bshd->bkhs", q.astype(kh.dtype), kh,
-                        preferred_element_type=jnp.float32)
+    # attn_f32 (kernels.transformer_attn_dots_f32): true-f32 multi-pass
+    # dots — skips the operand down-cast AND the per-step f32→bf16
+    # conversion copies of the cross-KV the profile showed.
+    prec = jax.lax.Precision.HIGHEST if attn_f32 else None
+    qd = q if attn_f32 else q.astype(kh.dtype)
+    scores = jnp.einsum("bkhd,bshd->bkhs", qd, kh,
+                        preferred_element_type=jnp.float32, precision=prec)
     scores = scores / math.sqrt(dh)
     if encoder_mask is not None:
         scores = jnp.where(
             encoder_mask[:, None, None, :] > 0, scores, NEG_INF)
     w = jax.nn.softmax(scores, axis=-1)  # (B, K, h, S)
-    ctx = jnp.einsum("bkhs,bshd->bkhd", w.astype(vh.dtype), vh,
-                     preferred_element_type=x.dtype)
+    wd = w if attn_f32 else w.astype(vh.dtype)
+    ctx = jnp.einsum("bkhs,bshd->bkhd", wd, vh,
+                     preferred_element_type=x.dtype, precision=prec)
     out = apply_linear(p["wo"], ctx.reshape(B * K, D))
     return out, jnp.mean(w, axis=2).reshape(B * K, S).astype(x.dtype)
 
@@ -862,6 +892,7 @@ def decode_step_core(
     pos = jax.lax.dynamic_slice_in_dim(params["pos_embedding"], t, 1, axis=0)
     x = emb.astype(dtype) + pos.astype(dtype)  # (N, D)
 
+    attn_f32 = config.kernels.transformer_attn_dots_f32
     # Cache layout dispatch — per-layer tuple leaves vs one stacked array;
     # each decode path initializes the layout that measured faster on chip
     # (see init_decode_state). Structure is static under jit.
@@ -876,12 +907,12 @@ def decode_step_core(
         if stacked:
             h, k_all, v_all = _cached_self_attn_stacked(
                 blk["self_attn"], _apply_layer_norm(blk["ln1"], x),
-                k_all, v_all, i, t, heads,
+                k_all, v_all, i, t, heads, attn_f32,
             )
         else:
             h, ks[i], vs[i] = _cached_self_attn(
                 blk["self_attn"], _apply_layer_norm(blk["ln1"], x),
-                ks[i], vs[i], t, heads,
+                ks[i], vs[i], t, heads, attn_f32,
             )
         x = x + h
         if cp_axis is not None:
@@ -901,6 +932,7 @@ def decode_step_core(
             h, cross_w = _cross_attn_step(
                 blk["cross_attn"], _apply_layer_norm(blk["ln2"], x),
                 cross_kv["k"][i], cross_kv["v"][i], encoder_mask, heads,
+                attn_f32,
             )
         x = x + h
         x = x + _mlp(blk["mlp"], _apply_layer_norm(blk["ln3"], x))
@@ -974,6 +1006,7 @@ def decode_step_beam_core(
     # path (its collectives live outside kernel boundaries).
     fused = config.kernels.transformer_fused_beam_attn and cp_axis is None
     interpret = config.kernels.interpret
+    attn_f32 = config.kernels.transformer_attn_dots_f32
 
     emb = jnp.take(params["embedding"]["table"], token_ids, axis=0)
     pos = jax.lax.dynamic_slice_in_dim(params["pos_embedding"], t, 1, axis=0)
@@ -998,7 +1031,7 @@ def decode_step_beam_core(
         else:
             h, ks[i], vs[i] = _cached_self_attn_beam(
                 blk["self_attn"], _apply_layer_norm(blk["ln1"], x),
-                ks[i], vs[i], anc, t, heads, K,
+                ks[i], vs[i], anc, t, heads, K, attn_f32,
             )
         x = x + h
         if cp_axis is not None:
@@ -1025,6 +1058,7 @@ def decode_step_beam_core(
             h, cross_w = _cross_attn_step(
                 blk["cross_attn"], _apply_layer_norm(blk["ln2"], x),
                 cross_kv["k"][i], cross_kv["v"][i], encoder_mask, heads,
+                attn_f32,
             )
         x = x + h
         x = x + _mlp(blk["mlp"], _apply_layer_norm(blk["ln3"], x))

@@ -19,6 +19,22 @@ the running (lower-index) candidates first.
 
 The vocabulary axis is padded to a lane multiple by the caller with
 ``pad_vocab_weights`` (pad bias = -3.4e38 ⇒ never selected, exp = 0).
+
+WHAT IS AND IS NOT EXACT (reconciling the 0.9727 beam clip agreement in
+benchmarks/ab_beam_flags.json with this kernel's tests): the top-k
+extraction and its tie order are exact GIVEN the computed logits, and the
+logits use the same bf16-operand/f32-accumulate precision as the XLA
+path. The row LOGSUMEXP, however, folds per-vocab-block partial sums in
+an online rescaled accumulation — a different SUMMATION ORDER than XLA's
+one-pass reduction — so it matches only to f32 rounding (the test gates
+it at rtol 1e-5, not bitwise). In the beam update the lse shifts every
+candidate of one beam row uniformly, so a last-bit lse difference can
+reorder candidates ACROSS beams where expansions are near-tied; with
+near-tie-dense random-init logits ~2.7%% of clips pick a different
+(equal-scoring) hypothesis somewhere in 20 steps. Under trained,
+sharpened logits the margin dwarfs the rounding (the int8/bf16 gates'
+sharpen-3 regime). Bitwise token identity with the XLA path is therefore
+NOT this kernel's contract; top-k values/indices/tie order are.
 """
 
 from __future__ import annotations
