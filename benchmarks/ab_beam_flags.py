@@ -139,6 +139,11 @@ ARMS = [
      {"transformer_cache_bf16": True}),
     ("transformer", "float32", "attnf32",
      {"transformer_attn_dots_f32": True}),
+    ("transformer", "float32", "qkv", {"transformer_merge_qkv": True}),
+    ("transformer", "float32", "fcross",
+     {"transformer_fused_cross_attn": True}),
+    ("transformer", "float32", "fcross_qkv",
+     {"transformer_fused_cross_attn": True, "transformer_merge_qkv": True}),
     ("transformer", "bfloat16", "base", {}),
     ("transformer", "bfloat16", "pf32_off",
      {"transformer_beam_params_f32": False}),

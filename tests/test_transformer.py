@@ -714,3 +714,67 @@ def test_fused_beam_attention_bf16_cache(tr_config):
         np.asarray(fused["generated_tokens"]),
         np.asarray(ref["generated_tokens"]),
     )
+
+
+def test_merge_qkv_token_identity(tr_config):
+    """kernels.transformer_merge_qkv (one fused (D, 3D) self-attention
+    projection per block, merge_self_attn_qkv) must be numerically
+    inert: the merged matmul computes each output column by the same
+    contraction as the three split matmuls. Greedy and beam tokens must
+    match exactly on CPU (f32 dots), and the merged tree must carry one
+    concatenated kernel per block."""
+    params, feats, enc_outs, final, mask = _setup(tr_config, B=3, key=23)
+
+    ref_g = greedy_generate(
+        params, tr_config, enc_outs, final, START, END, 8, mask)
+    ref_b = beam_search_generate(
+        params, tr_config, enc_outs, final, START, END, 8, mask,
+        beam_size=4)
+    tr_config.kernels.transformer_merge_qkv = True
+    try:
+        merged = tr.merge_self_attn_qkv(params["decoder"])
+        D = tr_config.model.decoder_hidden_dim
+        for blk in merged["blocks"]:
+            assert blk["self_attn"]["wqkv"]["kernel"].shape == (D, 3 * D)
+        got_g = greedy_generate(
+            params, tr_config, enc_outs, final, START, END, 8, mask)
+        got_b = beam_search_generate(
+            params, tr_config, enc_outs, final, START, END, 8, mask,
+            beam_size=4)
+    finally:
+        tr_config.kernels.transformer_merge_qkv = False
+    np.testing.assert_array_equal(
+        np.asarray(got_g["generated_tokens"]),
+        np.asarray(ref_g["generated_tokens"]))
+    np.testing.assert_array_equal(
+        np.asarray(got_b["generated_tokens"]),
+        np.asarray(ref_b["generated_tokens"]))
+    np.testing.assert_allclose(
+        np.asarray(got_b["all_scores"]), np.asarray(ref_b["all_scores"]),
+        rtol=1e-6, atol=1e-6)
+
+
+def test_fused_cross_attention_only_matches_xla_path(tr_config):
+    """kernels.transformer_fused_cross_attn routes ONLY the beam loop's
+    cross-attention through the Pallas kernel (XLA self-attention stays).
+    Tokens must match the all-XLA path; the kernel's fp32 softmax mirrors
+    _cross_attn_step's preferred_element_type=f32 discipline."""
+    params, feats, enc_outs, final, mask = _setup(tr_config, B=3, key=29)
+    ref = beam_search_generate(
+        params, tr_config, enc_outs, final, START, END, 7, mask,
+        beam_size=4,
+    )
+    tr_config.kernels.transformer_fused_cross_attn = True
+    tr_config.kernels.interpret = True
+    try:
+        got = beam_search_generate(
+            params, tr_config, enc_outs, final, START, END, 7, mask,
+            beam_size=4,
+        )
+    finally:
+        tr_config.kernels.transformer_fused_cross_attn = False
+        tr_config.kernels.interpret = False
+    np.testing.assert_array_equal(
+        np.asarray(got["generated_tokens"]),
+        np.asarray(ref["generated_tokens"]),
+    )

@@ -353,6 +353,25 @@ class KernelConfig:
     # bf16-truncated path at near-ties. Chip A/B in ab_beam_flags.json
     # (attnf32 arms).
     transformer_attn_dots_f32: bool = False
+    # Route ONLY the beam loop's cross-attention through the fused Pallas
+    # kernel (ops/transformer_attn_pallas.py:beam_cross_attention),
+    # keeping the XLA ancestry-select self-attention. The monolithic
+    # transformer_fused_beam_attn measured 3.4x slower and the regression
+    # was attributed to the SELF-attention kernel's per-lane-block
+    # ancestry recompute; the cross kernel alone (one pass, fp32-in-VMEM
+    # softmax, no per-step relayout conversion copies) was never A/B'd
+    # standalone. Chip A/B in benchmarks/ab_beam_flags.json (fcross arms).
+    transformer_fused_cross_attn: bool = False
+    # Merge each decoder block's self-attention wq/wk/wv into ONE fused
+    # (D, 3D) linear for the decode loops, built once per generation call
+    # (models/transformer.py:merge_self_attn_qkv). XLA does not merge
+    # separate dots, so the three back-to-back (N, D)x(D, D) matmuls on
+    # the same activation each re-read x and pay their own dispatch; the
+    # fused form reads x once. Bit-identical by construction (output
+    # columns of a matmul are independent lanes; agreement gated on chip
+    # in benchmarks/ab_beam_flags.json qkv arms). Applied to greedy and
+    # beam for both the XLA and fused-Pallas-attention paths.
+    transformer_merge_qkv: bool = False
     # Route the int8 ResNet50's stride-1 1x1 convs through fused Pallas
     # int8 matmul+requant kernels (ops/int8_matmul_pallas.py): the s32
     # conv accumulator stays in VMEM and the dequant/residual/ReLU/requant

@@ -198,6 +198,11 @@ def _transformer_family(
             and not config.kernels.transformer_bf16_beam_state
             and jax.default_backend() == "tpu"):
         dec = tr.stage_decode_weights_bf16(dec)
+    # Fused per-block wqkv for the decode loop (AFTER staging so the merge
+    # concatenates the staged dtype). Bit-identical — see
+    # merge_self_attn_qkv / the config flag note.
+    if config.kernels.transformer_merge_qkv:
+        dec = tr.merge_self_attn_qkv(dec)
     # Cross-attention K/V computed ONCE per generation call; stays
     # UN-expanded (B, S, D) — the decode step broadcasts over the beam
     # axis in-register (same HBM saving as the LSTM beam path).

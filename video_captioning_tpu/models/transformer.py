@@ -431,6 +431,55 @@ def stage_decode_weights_bf16(dec: dict) -> dict:
     }
 
 
+def merge_self_attn_qkv(dec: dict) -> dict:
+    """Concatenate each block's self-attention wq/wk/wv into ONE fused
+    ``wqkv`` (D, 3D) linear for the decode loop, built once per generation
+    call (kernels.transformer_merge_qkv).
+
+    Why: each decode step runs three back-to-back (N, D)x(D, D) matmuls on
+    the SAME activation. XLA does not merge separate dots, so each is its
+    own MXU dispatch reading x from HBM again. One (N, D)x(D, 3D) matmul
+    reads x once and amortizes the dispatch. Bit-identical by
+    construction: output columns of a matmul are independent lanes — the
+    contraction order per column is unchanged by concatenating kernels
+    along the output axis (agreement gated on chip in
+    benchmarks/ab_beam_flags.py, arm ``qkv``).
+
+    Composes with stage_decode_weights_bf16 (concat preserves the staged
+    dtype — call AFTER staging). int8-quantized linears are left split:
+    their per-channel scales already concatenate per-kernel, and the int8
+    path is opt-in/approximate anyway.
+    """
+    blocks = []
+    for blk in dec["blocks"]:
+        sa = blk["self_attn"]
+        if "kernel" not in sa.get("wq", {}):
+            blocks.append(blk)
+            continue
+        wqkv = {
+            "kernel": jnp.concatenate(
+                [sa["wq"]["kernel"], sa["wk"]["kernel"], sa["wv"]["kernel"]],
+                axis=1,
+            ),
+            "bias": jnp.concatenate(
+                [sa["wq"]["bias"], sa["wk"]["bias"], sa["wv"]["bias"]]
+            ),
+        }
+        blocks.append({**blk, "self_attn": {**sa, "wqkv": wqkv}})
+    return {**dec, "blocks": blocks}
+
+
+def _qkv_proj(p: dict, x: Array) -> Tuple[Array, Array, Array]:
+    """Self-attention q/k/v projections — fused when ``wqkv`` is present
+    (merge_self_attn_qkv), three dots otherwise."""
+    if "wqkv" in p:
+        qkv = apply_linear(p["wqkv"], x)
+        D = x.shape[-1]
+        return qkv[..., :D], qkv[..., D:2 * D], qkv[..., 2 * D:]
+    return (apply_linear(p["wq"], x), apply_linear(p["wk"], x),
+            apply_linear(p["wv"], x))
+
+
 def init_decode_state(
     params: dict, config: Config, batch: int, dtype,
     max_positions: Optional[int] = None, cache_dtype=None,
@@ -517,9 +566,7 @@ def _cached_self_attn(
     T_max, N, D = k_lyr.shape
     dh = D // heads
     cdt = k_lyr.dtype
-    q = apply_linear(p["wq"], x)                       # (N, D)
-    k_t = apply_linear(p["wk"], x)
-    v_t = apply_linear(p["wv"], x)
+    q, k_t, v_t = _qkv_proj(p, x)                      # (N, D) each
     k_lyr = jax.lax.dynamic_update_slice(
         k_lyr, k_t.astype(cdt)[None, :, :], (t, 0, 0))
     v_lyr = jax.lax.dynamic_update_slice(
@@ -564,9 +611,7 @@ def _cached_self_attn_stacked(
     _, T_max, N, D = k_all.shape
     dh = D // heads
     cdt = k_all.dtype
-    q = apply_linear(p["wq"], x)                       # (N, D)
-    k_t = apply_linear(p["wk"], x)
-    v_t = apply_linear(p["wv"], x)
+    q, k_t, v_t = _qkv_proj(p, x)                      # (N, D) each
     k_all = jax.lax.dynamic_update_slice(
         k_all, k_t.astype(cdt)[None, None, :, :], (layer, t, 0, 0))
     v_all = jax.lax.dynamic_update_slice(
@@ -622,9 +667,7 @@ def _cached_self_attn_beam(
     B = N // K
     dh = D // heads
     cdt = k_lyr.dtype
-    q = apply_linear(p["wq"], x)
-    k_t = apply_linear(p["wk"], x)
-    v_t = apply_linear(p["wv"], x)
+    q, k_t, v_t = _qkv_proj(p, x)
     k_lyr = jax.lax.dynamic_update_slice(
         k_lyr, k_t.astype(cdt)[None, :, :], (t, 0, 0))
     v_lyr = jax.lax.dynamic_update_slice(
@@ -683,9 +726,7 @@ def _cached_self_attn_beam_fused(
     from ..ops.transformer_attn_pallas import beam_self_attention
 
     cdt = k_lyr.dtype
-    q = apply_linear(p["wq"], x)
-    k_t = apply_linear(p["wk"], x)
-    v_t = apply_linear(p["wv"], x)
+    q, k_t, v_t = _qkv_proj(p, x)
     k_lyr = jax.lax.dynamic_update_slice(
         k_lyr, k_t.astype(cdt)[None, :, :], (t, 0, 0))
     v_lyr = jax.lax.dynamic_update_slice(
@@ -1005,6 +1046,11 @@ def decode_step_beam_core(
     # pass per attention with fp32-in-VMEM softmax. CP keeps the shard_map
     # path (its collectives live outside kernel boundaries).
     fused = config.kernels.transformer_fused_beam_attn and cp_axis is None
+    # Cross-only fused arm: the Pallas cross-attention kernel with the XLA
+    # ancestry-select self-attention (see the config flag note).
+    fused_cross = fused or (
+        config.kernels.transformer_fused_cross_attn and cp_axis is None
+    )
     interpret = config.kernels.interpret
     attn_f32 = config.kernels.transformer_attn_dots_f32
 
@@ -1048,7 +1094,7 @@ def decode_step_beam_core(
                 blk["cross_attn"], _apply_layer_norm(blk["ln2"], x),
                 cross_kv["k"][i], cross_kv["v"][i], encoder_mask, heads,
             )
-        elif fused:
+        elif fused_cross:
             h, cross_w = _cross_attn_step_fused(
                 blk["cross_attn"], _apply_layer_norm(blk["ln2"], x),
                 cross_kv["k"][i], cross_kv["v"][i], encoder_mask, heads, K,
