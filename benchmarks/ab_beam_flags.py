@@ -139,11 +139,11 @@ ARMS = [
      {"transformer_cache_bf16": True}),
     ("transformer", "float32", "attnf32",
      {"transformer_attn_dots_f32": True}),
-    ("transformer", "float32", "qkv", {"transformer_merge_qkv": True}),
+    ("transformer", "float32", "qkv_off", {"transformer_merge_qkv": False}),
     ("transformer", "float32", "fcross",
      {"transformer_fused_cross_attn": True}),
-    ("transformer", "float32", "fcross_qkv",
-     {"transformer_fused_cross_attn": True, "transformer_merge_qkv": True}),
+    ("transformer", "float32", "gsel",
+     {"transformer_select_gather": True}),
     ("transformer", "bfloat16", "base", {}),
     ("transformer", "bfloat16", "pf32_off",
      {"transformer_beam_params_f32": False}),

@@ -725,6 +725,7 @@ def test_merge_qkv_token_identity(tr_config):
     concatenated kernel per block."""
     params, feats, enc_outs, final, mask = _setup(tr_config, B=3, key=23)
 
+    tr_config.kernels.transformer_merge_qkv = False
     ref_g = greedy_generate(
         params, tr_config, enc_outs, final, START, END, 8, mask)
     ref_b = beam_search_generate(
@@ -742,7 +743,7 @@ def test_merge_qkv_token_identity(tr_config):
             params, tr_config, enc_outs, final, START, END, 8, mask,
             beam_size=4)
     finally:
-        tr_config.kernels.transformer_merge_qkv = False
+        tr_config.kernels.transformer_merge_qkv = True  # the default
     np.testing.assert_array_equal(
         np.asarray(got_g["generated_tokens"]),
         np.asarray(ref_g["generated_tokens"]))
@@ -778,3 +779,28 @@ def test_fused_cross_attention_only_matches_xla_path(tr_config):
         np.asarray(got["generated_tokens"]),
         np.asarray(ref["generated_tokens"]),
     )
+
+
+def test_select_gather_bit_identity(tr_config):
+    """kernels.transformer_select_gather swaps the ancestry one-hot
+    einsums for a gather + broadcast multiply — values must be BIT
+    identical (selection, not summation), so beam tokens AND scores
+    match exactly."""
+    params, feats, enc_outs, final, mask = _setup(tr_config, B=3, key=31)
+    ref = beam_search_generate(
+        params, tr_config, enc_outs, final, START, END, 8, mask,
+        beam_size=4,
+    )
+    tr_config.kernels.transformer_select_gather = True
+    try:
+        got = beam_search_generate(
+            params, tr_config, enc_outs, final, START, END, 8, mask,
+            beam_size=4,
+        )
+    finally:
+        tr_config.kernels.transformer_select_gather = False
+    np.testing.assert_array_equal(
+        np.asarray(got["generated_tokens"]),
+        np.asarray(ref["generated_tokens"]))
+    np.testing.assert_array_equal(
+        np.asarray(got["all_scores"]), np.asarray(ref["all_scores"]))

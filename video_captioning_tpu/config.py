@@ -353,6 +353,15 @@ class KernelConfig:
     # bf16-truncated path at near-ties. Chip A/B in ab_beam_flags.json
     # (attnf32 arms).
     transformer_attn_dots_f32: bool = False
+    # Beam self-attention ancestry selection as a take_along_axis GATHER
+    # (+ broadcast-multiply re-expansion) instead of the two one-hot
+    # einsums. Values are exactly equal (a gather selects; x*1/x*0 masks —
+    # no summation), so tokens/scores are bit-identical; the flag only
+    # changes the lowered op mix — the profiled (B,K,T,h) select fusions
+    # are ~6x lane-padded at reference scale and cost ~370 us/step of the
+    # 1.42 ms transformer beam step. Chip A/B in ab_beam_flags.json (gsel
+    # arms).
+    transformer_select_gather: bool = False
     # Route ONLY the beam loop's cross-attention through the fused Pallas
     # kernel (ops/transformer_attn_pallas.py:beam_cross_attention),
     # keeping the XLA ancestry-select self-attention. The monolithic
@@ -363,15 +372,19 @@ class KernelConfig:
     # standalone. Chip A/B in benchmarks/ab_beam_flags.json (fcross arms).
     transformer_fused_cross_attn: bool = False
     # Merge each decoder block's self-attention wq/wk/wv into ONE fused
-    # (D, 3D) linear for the decode loops, built once per generation call
-    # (models/transformer.py:merge_self_attn_qkv). XLA does not merge
-    # separate dots, so the three back-to-back (N, D)x(D, D) matmuls on
-    # the same activation each re-read x and pay their own dispatch; the
-    # fused form reads x once. Bit-identical by construction (output
-    # columns of a matmul are independent lanes; agreement gated on chip
-    # in benchmarks/ab_beam_flags.json qkv arms). Applied to greedy and
-    # beam for both the XLA and fused-Pallas-attention paths.
-    transformer_merge_qkv: bool = False
+    # (D, 3D) linear for the BEAM decode loop, built once per generation
+    # call (models/transformer.py:merge_self_attn_qkv). XLA does not
+    # merge separate dots, so the three back-to-back (N, D)x(D, D)
+    # matmuls on the same activation each re-read x and pay their own
+    # dispatch; the fused form reads x once. Default ON, beam-only: chip
+    # A/B (ab_beam_flags qkv arms) measured +1.3% fp32 B=256 with clip
+    # agreement 1.0 (output columns of a matmul are independent lanes,
+    # so the merge is bit-identical when accumulation is f32 — the beam
+    # path upcasts/stages params so it always is). NOT applied at K=1:
+    # greedy measured neutral (+0.1%) and under true-bf16 greedy params
+    # the merged matmul's different contraction blocking flips ~16% of
+    # random-init clips (agreement 0.84) — not worth a numerics change.
+    transformer_merge_qkv: bool = True
     # Route the int8 ResNet50's stride-1 1x1 convs through fused Pallas
     # int8 matmul+requant kernels (ops/int8_matmul_pallas.py): the s32
     # conv accumulator stays in VMEM and the dequant/residual/ReLU/requant

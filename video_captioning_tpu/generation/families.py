@@ -198,10 +198,13 @@ def _transformer_family(
             and not config.kernels.transformer_bf16_beam_state
             and jax.default_backend() == "tpu"):
         dec = tr.stage_decode_weights_bf16(dec)
-    # Fused per-block wqkv for the decode loop (AFTER staging so the merge
-    # concatenates the staged dtype). Bit-identical — see
-    # merge_self_attn_qkv / the config flag note.
-    if config.kernels.transformer_merge_qkv:
+    # Fused per-block wqkv for the BEAM decode loop (AFTER staging so the
+    # merge concatenates the staged dtype). Beam only: there it is
+    # bit-identical (chip agreement 1.0, +1.3%); at K=1 it is neutral
+    # (+0.1%) and under true-bf16 greedy params the merged matmul's
+    # different contraction blocking flips ~16% of random-init clips —
+    # see the config flag note.
+    if config.kernels.transformer_merge_qkv and K > 1:
         dec = tr.merge_self_attn_qkv(dec)
     # Cross-attention K/V computed ONCE per generation call; stays
     # UN-expanded (B, S, D) — the decode step broadcasts over the beam

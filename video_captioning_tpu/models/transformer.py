@@ -645,6 +645,7 @@ def _cached_self_attn_beam(
     heads: int,
     num_beams: int,
     attn_f32: bool = False,
+    select_gather: bool = False,
 ) -> Tuple[Array, Array, Array]:
     """Ancestry-indexed one-query self-attention for beam search.
 
@@ -691,13 +692,32 @@ def _cached_self_attn_beam(
         anc[:, :, :, None]
         == jnp.arange(K, dtype=jnp.int32)[None, None, None, :]
     )  # (B, K, T, j)
-    scores = jnp.einsum(
-        "bkhjt,bktj->bkht", scores_all, onehot.astype(jnp.float32)
-    )
+    if select_gather:
+        # kernels.transformer_select_gather: pick the ancestry slot with a
+        # take_along_axis gather instead of the one-hot reduce einsum, and
+        # re-expand the softmax weights with a broadcast multiply instead
+        # of an expand einsum. Values are EXACTLY the ones the einsums
+        # produce (a gather selects, a x*1/x*0 multiply masks — no
+        # summation anywhere), so tokens/scores are bit-identical; only
+        # the lowered op mix differs (the profiled (B,K,T,h)-shaped
+        # select fusions are lane-padded 6x at reference scale).
+        scores = jnp.take_along_axis(
+            scores_all, anc[:, :, None, None, :], axis=3
+        )[:, :, :, 0, :]  # (B, K, h, T)
+    else:
+        scores = jnp.einsum(
+            "bkhjt,bktj->bkht", scores_all, onehot.astype(jnp.float32)
+        )
     valid = jnp.arange(T_max)[None, None, None, :] <= t
     scores = jnp.where(valid, scores, NEG_INF)
     w = jax.nn.softmax(scores, axis=-1)  # (B, K, h, T)
-    w_phys = jnp.einsum("bkht,bktj->bkhtj", w, onehot.astype(jnp.float32))
+    if select_gather:
+        w_phys = (
+            w[:, :, :, :, None] * onehot[:, :, None, :, :].astype(w.dtype)
+        )  # (B, K, h, T, j)
+    else:
+        w_phys = jnp.einsum(
+            "bkht,bktj->bkhtj", w, onehot.astype(jnp.float32))
     wd = w_phys if attn_f32 else w_phys.astype(cdt)
     ctx = jnp.einsum(
         "bkhtj,tbjhd->bkhd", wd, vh,
@@ -1078,6 +1098,7 @@ def decode_step_beam_core(
             h, ks[i], vs[i] = _cached_self_attn_beam(
                 blk["self_attn"], _apply_layer_norm(blk["ln1"], x),
                 ks[i], vs[i], anc, t, heads, K, attn_f32,
+                config.kernels.transformer_select_gather,
             )
         x = x + h
         if cp_axis is not None:
