@@ -57,7 +57,14 @@ class VideoCaptionPredictor:
         int8×int8→int32 MXU matmuls with dynamic per-row activation scales
         — approximate by construction, so the fp32 token-parity contract
         does not apply; measured token-agreement rates vs fp32 live in
-        benchmarks/int8_decode_gate.py output and docs/PERFORMANCE.md.
+        benchmarks/int8_decode_gate_{lstm,transformer}.json and
+        docs/PERFORMANCE.md §"W8A8 decode quantization: verdict".
+        Round-5 verdict: decode int8 buys NO throughput on this chip
+        (every beam arm ≤ fp32 base; the decode matmuls already run bf16
+        operands under DEFAULT precision and the dynamic activation quant
+        adds serial VPU work) — use it only when the 4x-smaller vocab
+        matrix matters for serving memory. The int8 CNN *feature* path
+        (FeatureExtractor vcw-int8-v1) is the one that pays (+49-57%).
         Composes with compute_dtype="bfloat16" (remaining matrices bf16).
 
         compute_dtype: "bfloat16" casts params once for ~2x lower HBM
