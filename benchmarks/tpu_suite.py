@@ -24,7 +24,10 @@ from video_captioning_tpu.generation.beam import beam_search_generate
 from video_captioning_tpu.generation.greedy import greedy_generate
 from video_captioning_tpu.models import captioner
 
-BATCHES = (64, 256)  # 256 is the headline config (bench.py / PERFORMANCE.md)
+# 128 is the measured beam-5 serving optimum and bench.py's headline
+# config since round 5 (benchmarks/beam_batch_scaling.json); 256 kept for
+# round-over-round comparability.
+BATCHES = (64, 128, 256)
 # ~35 ms tunnel RTT is paid once per timed call: ITERS=8 left ~4.4 ms/iter
 # in every row (a >30% under-report on the sub-10 ms rows — CLAUDE.md
 # traps). 64 brings the bias under 0.6 ms/iter.

@@ -299,3 +299,39 @@ def test_remat_attention_is_value_invariant(tiny_config):
     assert float(l_on) == float(l_off)
     for a, b in zip(jax.tree_util.tree_leaves(g_on), jax.tree_util.tree_leaves(g_off)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("attention", ["bahdanau", "luong", "multihead"])
+def test_bf16_compute_all_attention_types(tiny_config, attention):
+    """Teacher forcing AND both decode loops must run end-to-end with
+    bfloat16 params/activations for every attention type. Regression for
+    the round-5 quality_rank crash: multihead attention promoted its
+    context to f32 (the fp32 scalar score divisor), so every bf16 scan/
+    while carry failed its dtype check — bahdanau/luong had out-casts,
+    multihead didn't."""
+    from video_captioning_tpu import generation
+
+    cfg = tiny_config
+    cfg.model.attention_type = attention
+    cfg.validate()
+    params = init_model(jax.random.PRNGKey(0), cfg, VOCAB)
+    params16 = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if x.dtype == jnp.float32 else x, params)
+    feats = _features(cfg).astype(jnp.bfloat16)
+    tokens = jnp.ones((3, 7), jnp.int32)
+
+    out = apply_model(params16, cfg, feats, tokens)
+    assert out["logits"].dtype == jnp.bfloat16
+    # And through grad (the training path the crash hit):
+    def loss(p):
+        return apply_model(p, cfg, feats, tokens)["logits"].astype(
+            jnp.float32).sum()
+    g = jax.grad(loss)(params16)
+    assert jax.tree_util.tree_all(
+        jax.tree_util.tree_map(
+            lambda x: bool(jnp.all(jnp.isfinite(x.astype(jnp.float32)))), g))
+
+    for method in ("greedy", "beam"):
+        r = generation.generate(params16, cfg, feats, 1, 2, method=method)
+        assert r["generated_tokens"].shape[0] == 3

@@ -222,16 +222,25 @@ def _multihead_attend(
 ) -> Tuple[Array, Array]:
     k, v = cache["k"], cache["v"]  # (B, S, H, hd)
     B, S, H, hd = k.shape
+    out_dtype = dec_hidden.dtype
     q = apply_linear(params["query_linear"], dec_hidden).reshape(B, H, hd)
+    # Scores/softmax in fp32 regardless of compute dtype (the f32 scalar
+    # divisor promotes bf16 inputs — keep that deliberate), context cast
+    # BACK to the hidden dtype: without the cast a bf16 decode/teacher-
+    # forcing carry comes back f32 and every scan/while loop fails its
+    # carry-dtype check (caught by benchmarks/quality_rank.py round 5 —
+    # multihead was the only attention type missing the out-cast).
+    # fp32 inputs are bitwise unchanged (astype is a no-op).
     scores = jnp.einsum("bhd,bshd->bhs", q, k) / jnp.sqrt(jnp.float32(hd))
     if encoder_mask is not None:
         scores = jnp.where(encoder_mask[:, None, :] > 0, scores, _MASK_FILL)
     weights = jax.nn.softmax(scores, axis=-1)  # (B, H, S)
     weights = dropout(weights, _ATTN_DROPOUT, rng, train)
-    context = jnp.einsum("bhs,bshd->bhd", weights, v).reshape(B, H * hd)
+    context = jnp.einsum(
+        "bhs,bshd->bhd", weights.astype(v.dtype), v).reshape(B, H * hd)
     context = apply_linear(params["output_linear"], context)
     avg_weights = weights.mean(axis=1)  # (B, S) — head-avg for viz (ref :273)
-    return context, avg_weights
+    return context.astype(out_dtype), avg_weights.astype(out_dtype)
 
 
 def attention_once(
@@ -348,13 +357,18 @@ def attend_beam(
         B, S, H, hd = k.shape
         K = decoder_hidden.shape[1]
         q = apply_linear(params["query_linear"], decoder_hidden).reshape(B, K, H, hd)
+        # fp32 scores/softmax, context cast back to the hidden dtype —
+        # same carry-dtype fix as _multihead_attend (the f32 scalar
+        # divisor promotes bf16 inputs; fp32 is bitwise unchanged).
         s = jnp.einsum("bkhd,bshd->bkhs", q, k) / jnp.sqrt(jnp.float32(hd))
         if encoder_mask is not None:
             s = jnp.where(encoder_mask[:, None, None, :] > 0, s, _MASK_FILL)
         w = jax.nn.softmax(s, axis=-1)  # (B, K, H, S)
-        ctx = jnp.einsum("bkhs,bshd->bkhd", w, v).reshape(B, K, H * hd)
+        ctx = jnp.einsum(
+            "bkhs,bshd->bkhd", w.astype(v.dtype), v).reshape(B, K, H * hd)
         ctx = apply_linear(params["output_linear"], ctx)
-        return ctx, w.mean(axis=2)
+        out_dtype = decoder_hidden.dtype
+        return ctx.astype(out_dtype), w.mean(axis=2).astype(out_dtype)
     else:
         raise ValueError(kind)
 
