@@ -12,15 +12,19 @@ trains and scores the full config matrix on ONE shared dataset/seed:
 Difficulty knobs vs the saturated run (defaults chosen so the reference
 config lands mid-range rather than 1.0):
 
-* noise 0.05 -> 0.8: the additive attribute patterns are unit-scale
-  gaussians per dim, so sigma=0.8 puts per-frame SNR near 1 — the model
-  must integrate over a third of the clip to read an attribute.
+* noise 0.05 -> 8.0: per-frame SNR 1/8 — even integrating a whole
+  26-frame third leaves the attribute estimate at ~0.6 sigma, so
+  attribute reads genuinely fail sometimes. Calibrated ON CHIP round 5:
+  noise 2.0 still saturated (beam exact 1.0), 5.0 was near-ceiling
+  (0.97), 8.0 lands mid-range (lstm_bahdanau beam BLEU-4 0.875 / exact
+  0.597, greedy 0.817 / 0.514) — the first setting where beam-5
+  measurably beats greedy, i.e. the benchmark can rank METHODS too.
 * clips_per_combo 2 -> 1, holdout_every 4 -> 3: fewer examples, more
   held-out compositions.
-* temporal bleed: each attribute's pattern leaks (0.3x) into the
+* temporal bleed: each attribute's pattern leaks (0.5x) into the
   neighboring third, so the segment boundaries no longer give the
   attribute away positionally.
-* fewer epochs (18) at the same LR.
+* fewer epochs (12) at the same LR.
 
 Output: benchmarks/quality_rank.json — per-config BLEU-4 / METEOR /
 simplified-CIDEr / exact-match on held-out compositions, greedy and
@@ -167,10 +171,10 @@ def run_config(name: str, overrides: dict, train, heldout, args) -> dict:
 
 def main() -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--epochs", type=int, default=18)
-    parser.add_argument("--noise", type=float, default=0.8)
+    parser.add_argument("--epochs", type=int, default=12)
+    parser.add_argument("--noise", type=float, default=8.0)
     parser.add_argument("--holdout-every", type=int, default=3)
-    parser.add_argument("--bleed", type=float, default=0.3)
+    parser.add_argument("--bleed", type=float, default=0.5)
     parser.add_argument("--configs", type=str,
                         default=",".join(CONFIGS))
     args = parser.parse_args()
