@@ -475,7 +475,13 @@ class VideoCaptionPredictor:
 
 class BatchPredictor:
     """Multi-video driver with per-item error isolation (reference
-    predictor.py:422-483) — but each chunk runs as one device batch."""
+    predictor.py:422-483) — but each chunk runs as one device batch.
+
+    The default ``batch_size=8`` mirrors the reference's chunking (sized
+    for host-side video decode memory). For pre-extracted-feature
+    workloads raise it to the measured device optimum — beam-5 on one
+    v5e peaks at chunk 128 (20.3k clips/s vs 16.0k at 256;
+    benchmarks/beam_batch_scaling.json)."""
 
     def __init__(self, predictor: VideoCaptionPredictor, batch_size: int = 8):
         self.predictor = predictor
