@@ -155,6 +155,8 @@ ARMS = [
     ("transformer", "bfloat16", "bf16state",
      {"transformer_bf16_beam_state": True}),
     ("lstm", "float32", "base", {}),
+    ("lstm", "float32", "achunk128", {"attention_score_chunk": 128}),
+    ("lstm", "float32", "achunk64", {"attention_score_chunk": 64}),
     ("lstm", "float32", "wstage_off", {"lstm_decode_weights_bf16": False}),
     ("lstm", "float32", "ptopk_off", {"use_pallas_topk": False}),
     ("lstm", "bfloat16", "base", {}),

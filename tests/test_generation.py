@@ -268,3 +268,35 @@ def test_beam_fallback_scores_length_penalized():
     fallback_scores = scores[finite & ~has_end[: scores.shape[0]]]
     assert fallback_scores.size > 0
     assert (fallback_scores > -15.0).all(), fallback_scores
+
+
+def test_attention_score_chunk_bit_identity(tiny_config):
+    """kernels.attention_score_chunk splits the Bahdanau beam score
+    fusion over the batch axis — values must be BIT identical (the same
+    elementwise ops and per-row contraction, concatenated), so beam
+    tokens and scores match exactly."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from video_captioning_tpu.generation.beam import beam_search_generate
+    from video_captioning_tpu.models import captioner, init_model
+
+    cfg = tiny_config
+    params = init_model(jax.random.PRNGKey(3), cfg, 29)
+    feats = jax.random.normal(
+        jax.random.PRNGKey(4), (5, 10, cfg.model.cnn_feature_dim))
+    enc_outs, final, mask = captioner.encode(params, cfg, feats)
+    ref = beam_search_generate(
+        params, cfg, enc_outs, final, 1, 2, 8, mask, beam_size=4)
+    cfg.kernels.attention_score_chunk = 2
+    try:
+        got = beam_search_generate(
+            params, cfg, enc_outs, final, 1, 2, 8, mask, beam_size=4)
+    finally:
+        cfg.kernels.attention_score_chunk = 0
+    np.testing.assert_array_equal(
+        np.asarray(got["generated_tokens"]),
+        np.asarray(ref["generated_tokens"]))
+    np.testing.assert_array_equal(
+        np.asarray(got["all_scores"]), np.asarray(ref["all_scores"]))

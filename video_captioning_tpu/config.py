@@ -232,6 +232,18 @@ class KernelConfig:
     # context fp32. Opt-in: slightly perturbs scores, so token-level parity
     # holds only with it off.
     attention_score_bf16: bool = False
+    # Batch-chunk the Bahdanau BEAM score fusion into <=N-row pieces
+    # (0 = off). Motivation: the (B, K, S, A) tanh+reduce fusion falls
+    # to half its elementwise rate past ~26M elements (the B>=160 cliff
+    # behind the sharp B=128 serving optimum — beam_batch_scaling.json,
+    # profile_beam round 5: 158 µs/step at B=256 vs 2x42 expected).
+    # MEASURED NEGATIVE on chip (ab_beam_flags achunk arms, B=256 fp32,
+    # agreement 1.0): 15,161 (chunk 128) / 15,118 (chunk 64) vs 15,981
+    # base — per-chunk scheduling + the concat cost more than the cliff;
+    # the B=128 optimum evidently involves the whole step's schedule
+    # (enc-proj relayout copies included), not this fusion alone. Kept
+    # as gated, tested infrastructure; serve at B=128 instead.
+    attention_score_chunk: int = 0
     # ResNet50 inference-forward variant (models/backbones/resnet.py):
     #   xla       - per-op conv+BN+ReLU graph (reference-shaped)
     #   folded    - frozen BN folded into conv weights (fewer HBM-bound

@@ -320,17 +320,19 @@ def attend_beam(
     if kind == "bahdanau":
         dec_proj = apply_linear(params["decoder_projection"], decoder_hidden)
         enc_proj = cache["enc_proj"]
-        if not config.kernels.attention_score_bf16:
+
+        def _bah_scores(ep, dp):
+            if not config.kernels.attention_score_bf16:
+                combined = jnp.tanh(
+                    ep[:, None, :, :] + dp[:, :, None, :]
+                )  # (b, K, S, A)
+                return apply_linear(
+                    params["attention_linear"], combined)[..., 0]
             combined = jnp.tanh(
-                enc_proj[:, None, :, :] + dec_proj[:, :, None, :]
-            )  # (B, K, S, A)
-            scores = apply_linear(params["attention_linear"], combined)[..., 0]
-        else:
-            combined = jnp.tanh(
-                enc_proj.astype(jnp.bfloat16)[:, None, :, :]
-                + dec_proj.astype(jnp.bfloat16)[:, :, None, :]
+                ep.astype(jnp.bfloat16)[:, None, :, :]
+                + dp.astype(jnp.bfloat16)[:, :, None, :]
             )
-            scores = (
+            return (
                 jax.lax.dot_general(
                     combined,
                     params["attention_linear"]["kernel"].astype(jnp.bfloat16),
@@ -338,7 +340,30 @@ def attend_beam(
                     preferred_element_type=jnp.float32,
                 )[..., 0]
                 + params["attention_linear"]["bias"]
-            ).astype(enc_proj.dtype)
+            ).astype(ep.dtype)
+
+        B_rows = enc_proj.shape[0]
+        chunk = config.kernels.attention_score_chunk
+        if chunk and B_rows > chunk:
+            # Batch-chunked score fusion (kernels.attention_score_chunk):
+            # the round-5 profile showed the (B, K, S, A) tanh+reduce
+            # fusion running at HALF its elementwise rate once the tensor
+            # crosses ~26M elements (158 µs/step at B=256 vs 2x42
+            # expected — a VMEM tiling cliff; the sharp B=128 serving
+            # optimum in beam_batch_scaling.json is its flip side).
+            # Chunking the batch axis keeps each fusion below the cliff;
+            # values are bit-identical (elementwise ops and the same
+            # per-row contraction, concatenated).
+            scores = jnp.concatenate(
+                [
+                    _bah_scores(enc_proj[i:i + chunk],
+                                dec_proj[i:i + chunk])
+                    for i in range(0, B_rows, chunk)
+                ],
+                axis=0,
+            )
+        else:
+            scores = _bah_scores(enc_proj, dec_proj)
     elif kind == "luong":
         score = config.model.luong_score
         if score == "dot":
