@@ -126,18 +126,29 @@ def main():
                       f"{cps:10.1f} clips/sec "
                       f"({per_batch*1e3:.2f} ms / batch)")
 
-    # Attention-type comparison at the headline config (beam-5 B=256 fp32;
-    # bahdanau is the reference default and already measured above).
+    # Attention-type comparison at B=256 (historical headline) and the
+    # B=128 serving optimum; bahdanau is the reference default and
+    # already measured above. luong bf16 B=128 is the fastest serving
+    # config measured (24.2k clips/s round 5).
     for att in ("luong", "multihead"):
         config, params = build(jnp.float32, attention=att)
-        cps, per_batch = measure(config, params, "beam", 5, 256, jnp.float32)
-        results[f"beam_float32_b256_{att}"] = {
-            "clips_per_sec": round(cps, 1),
-            "batch": 256,
-            "sec_per_batch": round(per_batch, 5),
-        }
-        print(f"beam   fp32 {att:9s} B=256: {cps:10.1f} clips/sec "
-              f"({per_batch*1e3:.2f} ms / batch)")
+        for batch in (128, 256):
+            cps, per_batch = measure(config, params, "beam", 5, batch,
+                                     jnp.float32)
+            results[f"beam_float32_b{batch}_{att}"] = {
+                "clips_per_sec": round(cps, 1),
+                "batch": batch,
+                "sec_per_batch": round(per_batch, 5),
+            }
+            print(f"beam   fp32 {att:9s} B={batch}: {cps:10.1f} clips/sec "
+                  f"({per_batch*1e3:.2f} ms / batch)")
+    config, params = build(jnp.bfloat16, attention="luong")
+    cps, per_batch = measure(config, params, "beam", 5, 128, jnp.bfloat16)
+    results["beam_bfloat16_b128_luong"] = {
+        "clips_per_sec": round(cps, 1), "batch": 128,
+        "sec_per_batch": round(per_batch, 5),
+    }
+    print(f"beam   bf16 luong     B=128: {cps:10.1f} clips/sec")
 
     # Opt-in W8A8 decode (models/quantize.py): the vocab projection — the
     # LSTM step's biggest matmul — runs int8×int8→int32 on the MXU with
